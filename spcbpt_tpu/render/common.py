@@ -1,0 +1,39 @@
+"""Shared wavefront plumbing: camera rays, film accumulation."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils import rng as rng_mod
+
+
+def camera_rays(eye, U, V, W, width: int, height: int, subframe: int | jnp.ndarray):
+    """Generate one primary ray per pixel (reference raygen.cu:100-113):
+    lane i = pixel (x=i%W, y=i//W); subframe 0 uses the pixel center, later
+    subframes jitter. Returns (origins, dirs, rng_state) with N = W*H lanes.
+    Row 0 is the image bottom (d.y = -1)."""
+    n = width * height
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    state = rng_mod.seed(lane, jnp.asarray(subframe, jnp.uint32))
+    jx, state = rng_mod.next_float(state)
+    jy, state = rng_mod.next_float(state)
+    first = jnp.asarray(subframe, jnp.int32) == 0
+    jx = jnp.where(first, 0.5, jx)
+    jy = jnp.where(first, 0.5, jy)
+    x = (lane % width).astype(jnp.float32)
+    y = (lane // width).astype(jnp.float32)
+    dx = 2.0 * (x + jx) / width - 1.0
+    dy = 2.0 * (y + jy) / height - 1.0
+    eye = jnp.asarray(eye, jnp.float32)
+    U = jnp.asarray(U, jnp.float32)
+    V = jnp.asarray(V, jnp.float32)
+    W = jnp.asarray(W, jnp.float32)
+    d = dx[:, None] * U + dy[:, None] * V + W
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(eye, d.shape)
+    return o, d, state
+
+
+def accumulate(accum, sample, subframe):
+    """Progressive running mean (raygen.cu:158-166)."""
+    a = 1.0 / (jnp.asarray(subframe, jnp.float32) + 1.0)
+    return accum + (sample - accum) * a

@@ -1,0 +1,104 @@
+"""LVC processing: per-subspace vertex CMFs + the two-stage sampler.
+
+The reference copies up to 800k vertices to the host every frame and groups
+them by subspace in a CPU loop (reference: MyThrustOp::LVC_Process
+device_thrust.cu:241-332). Here the grouping is a device-side stable sort by
+subspace + segmented cumsum — no host round trip.
+
+Sampler semantics match SubspaceSampler_device (cuProg.h:266-302):
+first stage picks a light subspace from the eye subspace's Gamma-CMF row;
+second stage picks a cached vertex from that subspace's weight CMF
+(weight = float3weight(flux)/pdf, device_thrust.cu:200-207). The final pmf is
+path_count * pmf1 * pmf2 (raygen.cu:410-414).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import NUM_SUBSPACE
+from ..ops.cmf import segment_pmf, segment_searchsorted
+from ..train import classify
+from ..utils import rng as rng_mod
+from ..utils import vec
+from .vertex import LightVertices, reshape_flat
+
+
+@struct.dataclass
+class LVCSampler:
+    vertices: LightVertices      # flat (V,) SoA
+    order: jnp.ndarray           # (V,) int32: sorted-by-subspace vertex index
+    cmf: jnp.ndarray             # (V,) segment-local cumulative weights (normalized)
+    seg_start: jnp.ndarray       # (NUM_SUBSPACE,) int32
+    seg_size: jnp.ndarray        # (NUM_SUBSPACE,) int32
+    seg_sum: jnp.ndarray         # (NUM_SUBSPACE,) float32
+    vertex_count: jnp.ndarray    # () int32 valid vertices
+    path_count: jnp.ndarray      # () int32 valid light paths
+
+
+def build_sampler(lv: LightVertices) -> LVCSampler:
+    flat = reshape_flat(lv)
+    v_count = flat.valid.shape[0]
+
+    w = vec.float3weight(flat.flux) / jnp.maximum(flat.pdf, 1e-30)
+    w = jnp.where(jnp.isnan(w) | jnp.isinf(w), 0.0, w)
+    w = jnp.where(flat.valid, w, 0.0)
+
+    key = jnp.where(flat.valid, flat.subspace_id, NUM_SUBSPACE).astype(jnp.int32)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    skey = key[order]
+    sw = w[order]
+
+    csum = jnp.cumsum(sw)
+    ones = jnp.where(flat.valid, 1, 0)
+    counts = jnp.zeros(NUM_SUBSPACE + 1, jnp.int32).at[key].add(ones)
+    seg_sum = jnp.zeros(NUM_SUBSPACE + 1, jnp.float32).at[key].add(w)
+    start = jnp.cumsum(counts) - counts
+
+    base = jnp.where(start > 0, csum[jnp.maximum(start - 1, 0)], 0.0)
+    denom = jnp.maximum(seg_sum, 1e-30)
+    cmf = (csum - base[skey]) / denom[skey]
+
+    return LVCSampler(
+        vertices=flat, order=order, cmf=cmf,
+        seg_start=start[:NUM_SUBSPACE], seg_size=counts[:NUM_SUBSPACE],
+        seg_sum=seg_sum[:NUM_SUBSPACE],
+        vertex_count=jnp.sum(ones),
+        path_count=jnp.sum(jnp.where(flat.valid & (flat.depth == 0), 1, 0)),
+    )
+
+
+def sample_first_stage(ss: classify.SubspaceState, eye_subspace, state):
+    """Pick a light subspace from the eye subspace's Gamma-CMF row
+    (cuProg.h:290-302). Returns (light_subspace, pmf, state)."""
+    r, state = rng_mod.next_float(state)
+    flat = ss.cmf_gamma.reshape(-1)
+    base = eye_subspace.astype(jnp.int32) * NUM_SUBSPACE
+    size = jnp.full_like(base, NUM_SUBSPACE)
+    l = segment_searchsorted(flat, base, size, r, NUM_SUBSPACE)
+    pmf = segment_pmf(flat, base, l)
+    return l.astype(jnp.int32), pmf, state
+
+
+def sample_second_stage(s: LVCSampler, light_subspace, state):
+    """Pick a cached vertex from the subspace's weight CMF (cuProg.h:268-288).
+    Returns (vertex flat-index, pmf, valid, state)."""
+    r, state = rng_mod.next_float(state)
+    base = s.seg_start[light_subspace]
+    size = s.seg_size[light_subspace]
+    l = segment_searchsorted(s.cmf, base, size, r, int(s.cmf.shape[0]))
+    pmf = segment_pmf(s.cmf, base, l)
+    idx = s.order[jnp.clip(base + l, 0, s.order.shape[0] - 1)]
+    return idx, pmf, size > 0, state
+
+
+def sample_uniform(s: LVCSampler, state):
+    """Classic-BDPT uniform vertex pick (cuProg.h:279-287 uniformSample).
+    Returns (vertex flat-index, pmf, valid, state)."""
+    r, state = rng_mod.next_float(state)
+    # valid vertices occupy the first vertex_count slots of `order`
+    j = jnp.clip((r * s.vertex_count).astype(jnp.int32), 0,
+                 jnp.maximum(s.vertex_count - 1, 0))
+    idx = s.order[j]
+    pmf = 1.0 / jnp.maximum(s.vertex_count.astype(jnp.float32), 1.0)
+    return idx, pmf, s.vertex_count > 0, state

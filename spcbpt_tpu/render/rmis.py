@@ -1,0 +1,249 @@
+"""Recursive MIS (RMIS): O(1)-per-vertex MIS weights for SPCBPT connections.
+
+Math contract is reference rmis.h:13-391 exactly. Each sub-path carries an
+accumulated "all other strategies" term (scalar `rmis` on the light side,
+float3 `rmis3` on the eye side) updated once per bounce from pdf ratios and
+subspace connect-rates; at connection time the combiners below produce the
+balance-heuristic-style weight. The connect-rate kernel is
+Gamma(eye,light)/Q[light] * lum * CONNECTION_N (cuProg.h:70-78).
+
+Vertex arguments are duck-typed SoA structs (LightVertices / EyeVertices from
+render/vertex.py) sharing the attribute names used here.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import CONNECTION_N, MIN_RR_RATE
+from ..ops import bsdf as bsdf_mod
+from ..train import classify
+from ..utils import vec
+
+
+@struct.dataclass
+class EyeVertices:
+    """Eye sub-path vertex state carried through the SPCBPT eye loop."""
+    position: jnp.ndarray
+    normal: jnp.ndarray
+    color: jnp.ndarray
+    last_position: jnp.ndarray
+    pdf: jnp.ndarray
+    single_pdf: jnp.ndarray
+    last_normal_proj: jnp.ndarray
+    rmis3: jnp.ndarray           # (..., 3) RMIS_pointer_3
+    mat_id: jnp.ndarray
+    subspace_id: jnp.ndarray
+    last_zone_id: jnp.ndarray
+    depth: jnp.ndarray
+    is_ll_direction: jnp.ndarray
+    is_brdf: jnp.ndarray
+    last_brdf: jnp.ndarray
+
+
+def connect_rate(ss: classify.SubspaceState, eye_label, light_label, lum):
+    """connectRate_SOL (cuProg.h:70-78)."""
+    return classify.gamma_ss(ss, eye_label, light_label) * lum * CONNECTION_N
+
+
+def _pdf_at(ts, v, in_dir, out_dir):
+    mat = bsdf_mod.gather_mat(ts.mats, jnp.maximum(v.mat_id, 0), v.color)
+    return bsdf_mod.pdf_bsdf(mat, v.normal, in_dir, out_dir)
+
+
+def _eval_at(ts, v, in_dir, out_dir):
+    mat = bsdf_mod.gather_mat(ts.mats, jnp.maximum(v.mat_id, 0), v.color)
+    return bsdf_mod.eval_bsdf(mat, v.normal, in_dir, out_dir)
+
+
+def _rr(v):
+    return bsdf_mod.rr_rate(v.color, MIN_RR_RATE)
+
+
+def get_last_pdf(ts, v, in_dir):
+    """rmis::getLast_pdf (rmis.h:41-51): area pdf of regenerating v's previous
+    vertex from v, given incidence in_dir; includes RR."""
+    out_vec = v.last_position - v.position
+    out_dir = vec.normalize(out_vec)
+    pdf = _pdf_at(ts, v, in_dir, out_dir)
+    conv = v.last_normal_proj / jnp.maximum(vec.dot(out_vec, out_vec), 1e-20)
+    pdf = jnp.where(v.is_ll_direction, pdf, pdf * conv)
+    return pdf * _rr(v)
+
+
+def get_pdf(ts, begin_v, end_position, end_normal, end_is_dir, in_dir):
+    """rmis::getPdf (rmis.h:155-173): pdf of generating `end` from `begin`."""
+    out_vec = end_position - begin_v.position
+    out_dir = jnp.where(end_is_dir[..., None], -end_normal,
+                        vec.normalize(out_vec))
+    pdf = _pdf_at(ts, begin_v, in_dir, out_dir)
+    conv = (jnp.abs(vec.dot(out_dir, end_normal))
+            / jnp.maximum(vec.dot(out_vec, out_vec), 1e-20))
+    pdf = jnp.where(end_is_dir, pdf, pdf * conv)
+    return pdf * _rr(begin_v)
+
+
+def get_pdf_from_light_source(ts, light_v, end_position, end_normal):
+    """rmis::getPdf_from_light_source (rmis.h:174-190)."""
+    conn_vec = end_position - light_v.position
+    conn_dir = vec.normalize(conn_vec)
+    pdf_angle = jnp.abs(vec.dot(light_v.normal, conn_dir)) / jnp.pi
+    angle2a = (jnp.abs(vec.dot(end_normal, conn_dir))
+               / jnp.maximum(vec.dot(conn_vec, conn_vec), 1e-20))
+    area_pdf = pdf_angle * angle2a
+    if ts.has_env:
+        from ..scene import envmap as env_mod
+        proj = env_mod.env_project_pdf(ts.env)
+        dir_pdf = (light_v.pdf * 0 + proj) * jnp.abs(
+            vec.dot(light_v.normal, end_normal))
+        return jnp.where(light_v.is_env, dir_pdf, area_pdf)
+    return area_pdf
+
+
+def flux_multiplier(ts, v, in_dir, out_dir):
+    """rmis::getFluxMultiplier (rmis.h:104-115): f*cos/(pdf*rr)."""
+    f = _eval_at(ts, v, in_dir, out_dir)
+    pdf = _pdf_at(ts, v, in_dir, out_dir)
+    cos = jnp.abs(vec.dot(v.normal, out_dir))
+    return f * (cos / jnp.maximum(pdf * _rr(v), 1e-20))[..., None]
+
+
+def flux_multiplier_last(ts, v, in_dir):
+    out_dir = vec.normalize(v.last_position - v.position)
+    return flux_multiplier(ts, v, in_dir, out_dir)
+
+
+def tracing_weight_light(ts, ss, last, mid_position):
+    """rmis.h:57-79: last treated as eye-side connection point."""
+    eye_label = classify.label_eye(ss, last.position, last.normal)
+    w = connect_rate(ss, eye_label, last.last_zone_id, last.last_lum)
+    return jnp.where(last.last_brdf | last.is_brdf, 0.0, w)
+
+
+def tracing_weight_eye(ts, ss, last, mid_position, mid_is_dir=None):
+    """rmis.h:134-153: last treated as light-side connection point; lum = 1.
+    Depth-1 eye vertices weigh 0 (no t=1 light-tracing strategy)."""
+    light_label = classify.label_light(ss, last.position, last.normal)
+    w = connect_rate(ss, last.last_zone_id, light_label,
+                     jnp.ones_like(last.pdf))
+    return jnp.where(last.last_brdf | last.is_brdf | (last.depth == 1), 0.0, w)
+
+
+def tracing_update_eye(ts, ss, last: EyeVertices, mid_position, mid_is_dir):
+    """rmis.h:191-203: new rmis3 for the vertex after `last`."""
+    in_dir = vec.normalize(mid_position - last.position)
+    ll_pdf = get_last_pdf(ts, last, in_dir)
+    weight = tracing_weight_eye(ts, ss, last, mid_position, mid_is_dir)
+    fm = flux_multiplier_last(ts, last, in_dir)
+    num = last.rmis3 * ll_pdf[..., None] * fm + weight[..., None]
+    return num / jnp.maximum(last.single_pdf, 1e-30)[..., None]
+
+
+def _eye_side_D(ts, ss, eye_v, light_v, connect_dir, flux):
+    """Shared eye-side accumulator D_A of the combiners (rmis.h:219-233):
+    connect_dir points light->eye."""
+    ll_pdf_a = get_last_pdf(ts, eye_v, -connect_dir)
+    fm0 = flux_multiplier_last(ts, eye_v, -connect_dir)
+    weight_a = tracing_weight_eye(ts, ss, eye_v, light_v.position)
+    return eye_v.rmis3 * ll_pdf_a[..., None] * fm0 + weight_a[..., None]
+
+
+def general_connection(ts, ss, eye_v: EyeVertices, light_v) -> jnp.ndarray:
+    """rmis::general_connection (rmis.h:212-247): MIS weight for connecting
+    eye_v to a light vertex with depth>0."""
+    connect_vec = eye_v.position - light_v.position
+    connect_dir = vec.normalize(connect_vec)
+    flux = light_v.flux / jnp.maximum(light_v.pdf, 1e-30)[..., None]
+
+    d_a0 = _eye_side_D(ts, ss, eye_v, light_v, connect_dir, flux)
+    la = vec.normalize(light_v.last_position - light_v.position)
+    pdf_a = get_pdf(ts, light_v, eye_v.position, eye_v.normal,
+                    jnp.zeros_like(eye_v.pdf, bool), la)
+    fm1 = flux_multiplier(ts, light_v, la, connect_dir)
+    d_a = vec.float3weight(d_a0 * pdf_a[..., None] * fm1 * flux) \
+        / jnp.maximum(eye_v.single_pdf, 1e-30)
+
+    weight = vec.float3weight(
+        connect_rate(ss, eye_v.subspace_id, light_v.subspace_id,
+                     jnp.ones_like(eye_v.pdf))[..., None] * flux)
+
+    ll_pdf_b = get_last_pdf(ts, light_v, connect_dir)
+    weight_b = tracing_weight_light(ts, ss, light_v, eye_v.position)
+    d_b0 = light_v.rmis * ll_pdf_b + weight_b
+    lb = vec.normalize(eye_v.last_position - eye_v.position)
+    pdf_b = get_pdf(ts, eye_v, light_v.position, light_v.normal,
+                    light_v.is_env, lb)
+    d_b = d_b0 * pdf_b / jnp.maximum(light_v.single_pdf, 1e-30)
+
+    w = weight / jnp.maximum(weight + d_a + d_b, 1e-30)
+    return jnp.where(eye_v.is_brdf | light_v.is_brdf, 0.0, w)
+
+
+def connection_light_source(ts, ss, eye_v: EyeVertices, light_v) -> jnp.ndarray:
+    """rmis::connection_lightSource (rmis.h:281-323): light vertex is on the
+    light source (depth 0, area light)."""
+    connect_vec = eye_v.position - light_v.position
+    connect_dir = jnp.where(light_v.is_env[..., None], light_v.normal,
+                            vec.normalize(connect_vec))
+    flux = light_v.flux / jnp.maximum(light_v.pdf, 1e-30)[..., None]
+
+    d_a0 = _eye_side_D(ts, ss, eye_v, light_v, connect_dir, flux)
+    pdf_a = get_pdf_from_light_source(ts, light_v, eye_v.position, eye_v.normal)
+    if ts.has_env:
+        from ..scene import envmap as env_mod
+        fm1 = jnp.where(light_v.is_env,
+                        1.0 / env_mod.env_project_pdf(ts.env), jnp.pi)
+    else:
+        fm1 = jnp.full_like(pdf_a, jnp.pi)
+    d_a = vec.float3weight(d_a0 * (pdf_a * fm1)[..., None] * flux) \
+        / jnp.maximum(eye_v.single_pdf, 1e-30)
+
+    weight = vec.float3weight(
+        connect_rate(ss, eye_v.subspace_id, light_v.subspace_id,
+                     jnp.ones_like(eye_v.pdf))[..., None] * flux)
+
+    d_b0 = light_v.rmis
+    lb = vec.normalize(eye_v.last_position - eye_v.position)
+    pdf_b = get_pdf(ts, eye_v, light_v.position, light_v.normal,
+                    light_v.is_env, lb)
+    d_b = d_b0 * pdf_b / jnp.maximum(light_v.single_pdf, 1e-30)
+
+    w = weight / jnp.maximum(weight + d_a + d_b, 1e-30)
+    return jnp.where(eye_v.is_brdf | light_v.is_brdf, 0.0, w)
+
+
+def light_hit(ts, ss, eye_v: EyeVertices, lv_position, lv_normal, lv_flux,
+              lv_pdf, lv_subspace) -> jnp.ndarray:
+    """rmis::light_hit (rmis.h:359-390): inverse weight for an eye path that
+    lands on an emitter (virtual depth-0 light vertex with rmis=1).
+    Returns the MIS weight (not its inverse)."""
+    connect_vec = eye_v.position - lv_position
+    connect_dir = vec.normalize(connect_vec)
+    flux = lv_flux / jnp.maximum(lv_pdf, 1e-30)[..., None]
+
+    ll_pdf_a = get_last_pdf(ts, eye_v, -connect_dir)
+    fm0 = flux_multiplier_last(ts, eye_v, -connect_dir)
+    weight_a = tracing_weight_eye(ts, ss, eye_v, lv_position)
+    d_a0 = eye_v.rmis3 * ll_pdf_a[..., None] * fm0 + weight_a[..., None]
+
+    # virtual light vertex: area light from the emitter's pdf
+    conn_vec2 = eye_v.position - lv_position
+    pdf_angle = jnp.abs(vec.dot(lv_normal, connect_dir)) / jnp.pi
+    angle2a = (jnp.abs(vec.dot(eye_v.normal, connect_dir))
+               / jnp.maximum(vec.dot(conn_vec2, conn_vec2), 1e-20))
+    pdf_a = pdf_angle * angle2a
+    fm1 = jnp.pi
+    d_a = vec.float3weight(d_a0 * (pdf_a * fm1)[..., None] * flux) \
+        / jnp.maximum(eye_v.single_pdf, 1e-30)
+
+    weight = vec.float3weight(
+        connect_rate(ss, eye_v.subspace_id, lv_subspace,
+                     jnp.ones_like(eye_v.pdf))[..., None] * flux)
+    weight = jnp.where(eye_v.is_brdf, 0.0, weight)
+
+    d_b = jnp.ones_like(pdf_a)  # virtual vertex rmis = 1
+    lb = vec.normalize(eye_v.last_position - eye_v.position)
+    pdf_b = get_pdf(ts, eye_v, lv_position, lv_normal,
+                    jnp.zeros_like(eye_v.pdf, bool), lb)
+    denom = ((weight + d_a) / jnp.maximum(pdf_b, 1e-30) * lv_pdf + d_b)
+    return d_b / jnp.maximum(denom, 1e-30)

@@ -1,0 +1,282 @@
+"""SPCBPT eye-side renderer: eye sub-paths with probabilistic, subspace-driven
+connections to cached light vertices, weighted by recursive MIS.
+
+Behavior contract (reference: __raygen__SPCBPT raygen.cu:319-443,
+__closesthit__eyeSubpath hit_program.cu:246-340, emitter hit
+hit_program.cu:62-147, connection eval connectVertex_SPCBPT raygen.cu:253-303):
+per eye vertex draw CONNECTION_N light vertices by two-stage subspace sampling
+(Gamma-CMF row, then per-subspace vertex CMF), test visibility, and add
+  contri/(pdf_eye*pdf_light) * G * fa * fb * rmis_weight / pmf / CONNECTION_N
+with pmf = path_count * pmf1 * pmf2 (raygen.cu:410-414). Direct emitter hits
+use the cached light_hit weight (hit_program.cu:128-147).
+
+The same loop with uniform vertex choice (uniform=True) and an untrained
+subspace state is the classic-BDPT baseline (BASELINE.md config 2).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (CONNECTION_N, MIN_RR_RATE, SCENE_EPSILON,
+                      SUBPATH_MAX_DEPTH)
+from ..ops import bsdf as bsdf_mod
+from ..ops import lights as lights_mod
+from ..scene.scene import TraceScene, local_geometry, trace_closest, visibility
+from ..train import classify
+from ..utils import rng as rng_mod
+from ..utils import vec
+from . import common, rmis
+from .lvc import (LVCSampler, sample_first_stage, sample_second_stage,
+                  sample_uniform)
+from .rmis import EyeVertices
+
+
+def _init_eye_vertices(origins, dirs):
+    """init_EyeSubpath (raygen.cu:222-238): camera vertex."""
+    n = origins.shape[0]
+    z = jnp.zeros((n,))
+    zi = jnp.zeros((n,), jnp.int32)
+    zb = jnp.zeros((n,), bool)
+    return EyeVertices(
+        position=origins, normal=dirs, color=jnp.ones((n, 3)),
+        last_position=origins, pdf=jnp.ones((n,)), single_pdf=jnp.ones((n,)),
+        last_normal_proj=jnp.ones((n,)), rmis3=jnp.zeros((n, 3)),
+        mat_id=zi, subspace_id=zi, last_zone_id=zi, depth=zi,
+        is_ll_direction=zb, is_brdf=zb, last_brdf=zb,
+    )
+
+
+def connect_vertex(ts: TraceScene, ss: classify.SubspaceState,
+                   eye_v, light_v):
+    """connectVertex_SPCBPT (raygen.cu:253-303) WITHOUT the pmf division.
+    Returns (N, 3) contribution (zero where invalid)."""
+    connect_vec = eye_v.position - light_v.position
+    connect_dir = vec.normalize(connect_vec)
+    # direction/env light vertices connect by direction (raygen.cu:234-252)
+    dir_conn = light_v.is_env
+    conn_dir_e = jnp.where(dir_conn[..., None], -light_v.normal, connect_dir)
+
+    cos_a = jnp.abs(vec.dot(eye_v.normal, conn_dir_e))
+    cos_b = jnp.abs(vec.dot(light_v.normal, connect_dir))
+    g = cos_a * cos_b / jnp.maximum(vec.dot(connect_vec, connect_vec), 1e-20)
+
+    la_dir = vec.normalize(eye_v.last_position - eye_v.position)
+    lb_dir = vec.normalize(light_v.last_position - light_v.position)
+
+    fa = rmis._eval_at(ts, eye_v, -conn_dir_e, la_dir)
+    fb = rmis._eval_at(ts, light_v, connect_dir, lb_dir)
+    # origin (on-light) vertices: fb = [facing ? 1 : 0] (raygen.cu:275-287)
+    facing = vec.dot(light_v.normal, -connect_dir) <= 0.0
+    fb = jnp.where(light_v.is_origin[..., None],
+                   jnp.where(facing[..., None], 1.0, 0.0), fb)
+
+    contri = eye_v.flux * light_v.flux * fa * fb * g[..., None]
+    pdf = eye_v.pdf * light_v.pdf
+
+    w_general = rmis.general_connection(ts, ss, eye_v, light_v)
+    w_source = rmis.connection_light_source(ts, ss, eye_v, light_v)
+    w = jnp.where(light_v.depth == 0, w_source, w_general)
+
+    # direction-connect variant (raygen.cu:234-252): L = a.flux/a.pdf * fa *
+    # cos * b.flux/b.pdf * w ; the general formula divides by b.pdf too via
+    # pdf, so fold by setting g -> cos_a and fb -> 1 for env vertices
+    contri_dir = (eye_v.flux * light_v.flux * fa
+                  * vec.dot(eye_v.normal, conn_dir_e)[..., None])
+    ok_dir = vec.dot(eye_v.normal, conn_dir_e) > 0.0
+    contri = jnp.where(dir_conn[..., None],
+                       jnp.where(ok_dir[..., None], contri_dir, 0.0), contri)
+
+    ans = contri / jnp.maximum(pdf, 1e-30)[..., None] * w[..., None]
+    return vec.scrub(ans)
+
+
+def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
+                     sampler: LVCSampler, max_depth: int = SUBPATH_MAX_DEPTH,
+                     connection_n: int = CONNECTION_N, uniform: bool = False):
+    """Returns f(origins, dirs, rng_state) -> (N, 3) one SPCBPT sample/lane.
+
+    Note: carried 'flux'/'pdf' live on an extended eye vertex; the eye vertex
+    struct tracks the cumulative quantities of BDPTVertex."""
+
+    def step(origins, dirs, state):
+        n = origins.shape[0]
+        eye0 = _init_eye_vertices(origins, dirs)
+        carry = dict(
+            o=origins, d=dirs, state=state,
+            v=eye0,
+            flux=jnp.ones((n, 3)), vpdf=jnp.ones((n,)),
+            pending_f=jnp.ones((n, 3)), pending_single=jnp.ones((n,)),
+            result=jnp.zeros((n, 3)),
+            done=jnp.zeros((n,), bool),
+            depth=jnp.zeros((n,), jnp.int32),
+        )
+
+        def body(c, _):
+            last = c["v"]
+            hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True)
+            geom = local_geometry(ts, hit, c["o"], c["d"])
+            live = ~c["done"]
+            miss = ~hit.valid & live
+            hit_light = hit.valid & (geom["light_id"] >= 0) & live
+            hit_surf = hit.valid & (geom["light_id"] < 0) & live
+
+            d = c["d"]
+            cos_mid_l = jnp.abs(vec.dot(geom["Ns"], d))
+            # camera vertex "normal" is the primary ray direction, so this is
+            # exactly 1 on the first segment (init_EyeSubpath raygen.cu:222)
+            cos_last = jnp.abs(vec.dot(last.normal, d))
+            inv_t2 = 1.0 / jnp.maximum(hit.t * hit.t, 1e-20)
+
+            # ---- emitter hit (hit_program.cu:62-147) ----
+            lid = jnp.maximum(geom["light_id"], 0)
+            ls_rev = lights_mod.reverse_sample_quad(ts, lid, geom["uv"])
+            cos_ln = jnp.abs(vec.dot(d, ls_rev.normal))
+            pdf_g_l = cos_ln * cos_last * inv_t2
+            front = vec.dot(d, ls_rev.normal) <= 0.0
+            flux_l = c["flux"] * (pdf_g_l[..., None] * ls_rev.emission)
+            single_l = c["pending_single"] * pdf_g_l / jnp.maximum(cos_last, 1e-20)
+            pdf_l = c["vpdf"] * single_l
+            direct = c["depth"] == 0  # MidVertex.depth == 1
+            w_hit = rmis.light_hit(ts, ss, last, geom["P"], ls_rev.normal,
+                                   ls_rev.emission, ls_rev.pdf,
+                                   ls_rev.subspace_id)
+            w_hit = jnp.where(direct, 1.0, w_hit)
+            emit = flux_l / jnp.maximum(pdf_l, 1e-30)[..., None] * w_hit[..., None]
+            result = c["result"] + jnp.where((hit_light & front)[..., None],
+                                             vec.scrub(emit), 0.0)
+
+            # ---- new eye vertex (hit_program.cu:246-340) ----
+            pdf_g = cos_mid_l * cos_last * inv_t2
+            flux_mid = jnp.where((last.depth == 0)[..., None],
+                                 c["flux"] * pdf_g[..., None],
+                                 c["pending_f"] * c["flux"] * pdf_g[..., None])
+            single_mid = c["pending_single"] * pdf_g / jnp.maximum(cos_last, 1e-20)
+            pdf_mid = c["vpdf"] * single_mid
+            sub_mid = classify.label_eye(ss, geom["P"], geom["Ns"])
+            rmis3 = jnp.where((last.depth == 0)[..., None],
+                              jnp.zeros((geom["P"].shape[0], 3)),
+                              rmis.tracing_update_eye(ts, ss, last, geom["P"],
+                                                      jnp.zeros_like(hit_surf)))
+            mid = EyeVertices(
+                position=geom["P"], normal=geom["Ns"], color=geom["base_color"],
+                last_position=last.position, pdf=pdf_mid, single_pdf=single_mid,
+                last_normal_proj=cos_last, rmis3=rmis3,
+                mat_id=geom["mat_id"], subspace_id=sub_mid,
+                last_zone_id=last.subspace_id, depth=last.depth + 1,
+                is_ll_direction=jnp.zeros_like(hit_surf),
+                is_brdf=jnp.zeros_like(hit_surf), last_brdf=last.is_brdf,
+            )
+            mid_ext_flux = flux_mid
+            mid_ext_pdf = pdf_mid
+
+            # ---- CONNECTION_N probabilistic connections (raygen.cu:390-420) ----
+            conn_total, state2 = _connections(
+                ts, ss, sampler, mid, mid_ext_flux, mid_ext_pdf, c["state"],
+                connection_n, uniform)
+            result = result + jnp.where(hit_surf[..., None],
+                                        conn_total / connection_n, 0.0)
+
+            # ---- RR + bounce ----
+            v_dir = -d
+            mat = bsdf_mod.gather_mat(ts.mats, geom["mat_id"], geom["base_color"])
+            new_d, state2 = bsdf_mod.sample_bsdf(mat, geom["Ns"], v_dir, state2)
+            bpdf = bsdf_mod.pdf_bsdf(mat, geom["Ns"], v_dir, new_d)
+            f = bsdf_mod.eval_bsdf(mat, geom["Ns"], v_dir, new_d)
+            rr = bsdf_mod.rr_rate(geom["base_color"], MIN_RR_RATE)
+            r, state2 = rng_mod.next_float(state2)
+            cont = hit_surf & (r <= rr) & (bpdf > 0.0)
+
+            depth = c["depth"] + jnp.where(live, 1, 0)
+            done = c["done"] | miss | hit_light | (hit_surf & ~cont) \
+                | (depth > max_depth)
+
+            keep = hit_surf
+
+            def sel(new, old):
+                return jnp.where(
+                    keep.reshape(keep.shape + (1,) * (new.ndim - 1)), new, old)
+
+            return dict(
+                o=vec.where3(cont, geom["P"], c["o"]),
+                d=vec.where3(cont, new_d, c["d"]),
+                state=state2,
+                v=jax.tree_util.tree_map(sel, mid, last),
+                flux=sel(mid_ext_flux, c["flux"]),
+                vpdf=jnp.where(keep, mid_ext_pdf, c["vpdf"]),
+                pending_f=vec.where3(cont, f, c["pending_f"]),
+                pending_single=jnp.where(cont, bpdf * rr, c["pending_single"]),
+                result=result,
+                done=done,
+                depth=depth,
+            ), None
+
+        c, _ = jax.lax.scan(body, carry, None, length=max_depth + 1)
+        return c["result"]
+
+    return step
+
+
+def _env_r(ts):
+    return ts.env.r if ts.has_env else jnp.float32(1.0)
+
+
+def _connections(ts, ss, sampler, mid: EyeVertices, eye_flux, eye_pdf, state,
+                 connection_n: int, uniform: bool):
+    """The CONNECTION_N sampling/eval loop; returns (sum contribution, state)."""
+    n = eye_flux.shape[0]
+    total = jnp.zeros((n, 3))
+    eye_for_conn = _ConnEye(mid, eye_flux, eye_pdf)
+    for _ in range(connection_n):
+        if uniform:
+            idx, pmf2, ok_seg, state = sample_uniform(sampler, state)
+            pmf1 = jnp.ones_like(pmf2)
+        else:
+            lsub, pmf1, state = sample_first_stage(ss, mid.subspace_id, state)
+            idx, pmf2, ok_seg, state = sample_second_stage(sampler, lsub, state)
+        lv = sampler.vertices.take(idx)
+        target = jnp.where(lv.is_env[..., None],
+                           mid.position - 10.0 * _env_r(ts) * lv.normal,
+                           lv.position)
+        vis = visibility(ts, mid.position, target, SCENE_EPSILON)
+        pmf = sampler.path_count.astype(jnp.float32) * pmf1 * pmf2
+        contrib = connect_vertex(ts, ss, eye_for_conn, lv)
+        ok = vis & ok_seg & lv.valid & (pmf > 0.0)
+        total = total + jnp.where(ok[..., None],
+                                  contrib / jnp.maximum(pmf, 1e-30)[..., None],
+                                  0.0)
+    return total, state
+
+
+class _ConnEye:
+    """Eye vertex view exposing cumulative flux/pdf for connection eval."""
+
+    def __init__(self, v: EyeVertices, flux, pdf):
+        self._v = v
+        self.flux = flux
+        self.pdf = pdf
+
+    def __getattr__(self, k):
+        return getattr(self._v, k)
+
+    def replace(self, **kw):
+        return self
+
+
+def render_frame(ts, ss, sampler, cam_uvw, width, height, subframe,
+                 max_depth=SUBPATH_MAX_DEPTH, connection_n=CONNECTION_N,
+                 uniform=False):
+    eye, U, V, W = cam_uvw
+    o, d, state = common.camera_rays(eye, U, V, W, width, height, subframe)
+    return make_spcbpt_step(ts, ss, sampler, max_depth, connection_n,
+                            uniform)(o, d, state)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth",
+                                   "connection_n", "uniform"))
+def render_frame_jit(ts, ss, sampler, eye, U, V, W, width, height, subframe,
+                     max_depth=16, connection_n=CONNECTION_N, uniform=False):
+    return render_frame(ts, ss, sampler, (eye, U, V, W), width, height,
+                        subframe, max_depth, connection_n, uniform)

@@ -1,0 +1,48 @@
+"""BDPT vertex record (SoA) shared by the light tracer, LVC and SPCBPT.
+
+Mirrors the fields of the reference BDPTVertex (reference: BDPTVertex.h:9-70)
+that the connection/RMIS math consumes. Stored as a flax struct of arrays so a
+whole LVC is one pytree; per-lane slices are plain dict-like gathers.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class LightVertices:
+    """A batch of light sub-path vertices; leading axes arbitrary."""
+    position: jnp.ndarray        # (..., 3)
+    normal: jnp.ndarray          # (..., 3)
+    flux: jnp.ndarray            # (..., 3) cumulative local contribution
+    color: jnp.ndarray           # (..., 3) texture-modulated base color
+    last_position: jnp.ndarray   # (..., 3)
+    pdf: jnp.ndarray             # (...,) cumulative area pdf (incl. RR)
+    single_pdf: jnp.ndarray      # (...,) segment pdf for this vertex
+    last_normal_proj: jnp.ndarray  # (...,) |dot(N_prev, dir)|
+    last_lum: jnp.ndarray        # (...,) float3sum(prev.flux/prev.pdf)
+    rmis: jnp.ndarray            # (...,) light-side RMIS_pointer
+    mat_id: jnp.ndarray          # (...,) int32
+    subspace_id: jnp.ndarray     # (...,) int32
+    last_zone_id: jnp.ndarray    # (...,) int32
+    depth: jnp.ndarray           # (...,) int32
+    is_origin: jnp.ndarray       # (...,) bool — on the light source
+    is_env: jnp.ndarray          # (...,) bool — directional/env "position-less"
+    is_ll_direction: jnp.ndarray  # (...,) bool — previous vertex was directional
+    is_brdf: jnp.ndarray         # (...,) bool (dormant, reference parity)
+    last_brdf: jnp.ndarray       # (...,) bool
+    valid: jnp.ndarray           # (...,) bool
+
+    def take(self, idx):
+        """Gather vertices at flat indices idx (any shape)."""
+        return jax.tree_util.tree_map(lambda a: a[idx], self)
+
+
+def reshape_flat(lv: LightVertices) -> LightVertices:
+    """Collapse leading axes to one flat vertex axis."""
+    def r(a):
+        extra = a.shape[2:] if a.ndim > 2 else ()
+        return a.reshape((-1,) + extra)
+    return jax.tree_util.tree_map(r, lv)

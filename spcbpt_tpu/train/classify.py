@@ -1,0 +1,134 @@
+"""Subspace classification: weighted-quantile centroids + exact
+nearest-centroid labeling as one MXU matmul.
+
+The reference builds centroids by weight quantiles over ~100k samples, labels
+samples by nearest centroid under d = |dp|^2 + diag^2*(1-n.n'), then trains an
+octree to approximate that labeling at ~99% accuracy for fast device lookup
+(reference: classTree_host.h:302-352, classTree_common.h:82-90). On TPU the
+exact nearest-centroid assignment is itself one (N,6)x(6,C) matmul + argmin —
+faster than a tree walk and exact, so the runtime classifier here *is* the
+centroid rule. An octree builder for checkpoint parity lives in train/tree.py.
+
+SubspaceState also carries Q, Gamma and CMFGamma, mirroring subspaceMacroInfo
+(optixPathTracer.h:166-189) including the untrained defaults (label 0,
+gamma_ss == 1).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import NUM_SUBSPACE, NUM_SUBSPACE_LIGHTSOURCE
+
+NUM_LIGHT_TREE_SUBSPACE = NUM_SUBSPACE - NUM_SUBSPACE_LIGHTSOURCE  # 800
+
+
+@struct.dataclass
+class Classifier:
+    centers_pos: jnp.ndarray    # (C, 3)
+    centers_norm: jnp.ndarray   # (C, 3)
+    diag2: jnp.ndarray          # () scene position variance (classTree_host.h:289-301)
+    label_bias: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class SubspaceState:
+    eye: Classifier
+    light: Classifier
+    q: jnp.ndarray           # (NUM_SUBSPACE,) per-subspace mean light flux
+    cmf_gamma: jnp.ndarray   # (NUM_SUBSPACE, NUM_SUBSPACE) row CMFs
+    trained: bool = struct.field(pytree_node=False, default=False)
+
+
+def dummy_classifier(n_labels: int = 1) -> Classifier:
+    return Classifier(centers_pos=jnp.zeros((n_labels, 3)),
+                      centers_norm=jnp.zeros((n_labels, 3)),
+                      diag2=jnp.float32(1.0))
+
+
+def untrained_state() -> SubspaceState:
+    return SubspaceState(eye=dummy_classifier(), light=dummy_classifier(),
+                         q=jnp.ones((NUM_SUBSPACE,)),
+                         cmf_gamma=jnp.broadcast_to(
+                             jnp.cumsum(jnp.full((NUM_SUBSPACE,),
+                                                 1.0 / NUM_SUBSPACE)),
+                             (NUM_SUBSPACE, NUM_SUBSPACE)),
+                         trained=False)
+
+
+def classify(c: Classifier, pos, normal):
+    """argmin_i |p-ci|^2 + diag2*(1 - n.nci)  (classTree_common.h:82-90;
+    direction term dropped as in the reference, DIR_JUDGE=0).
+    Computed as a single matmul on (pos, normal) features."""
+    feat = jnp.concatenate([pos, normal * (0.5 * c.diag2)], axis=-1)
+    cfeat = jnp.concatenate([c.centers_pos, c.centers_norm], axis=-1)
+    # score_i = |ci|^2 - 2 p.ci - diag2 n.nci   (|p|^2, diag2 const dropped)
+    bias = jnp.sum(c.centers_pos * c.centers_pos, axis=-1)
+    score = bias - 2.0 * feat @ cfeat.T
+    return (jnp.argmin(score, axis=-1) + c.label_bias).astype(jnp.int32)
+
+
+def label_eye(ss: SubspaceState, pos, normal):
+    """Eye-side subspace label (labelUnit::getLabel cuProg.h:1109-1123:
+    0 until the tree exists)."""
+    if not ss.trained:
+        return jnp.zeros(pos.shape[:-1], jnp.int32)
+    return classify(ss.eye, pos, normal)
+
+
+def label_light(ss: SubspaceState, pos, normal):
+    if not ss.trained:
+        return jnp.zeros(pos.shape[:-1], jnp.int32)
+    return classify(ss.light, pos, normal)
+
+
+def gamma_block(ss: SubspaceState, eye_id, light_id):
+    """Gamma(eye, light) recovered from the row CMF (optixPathTracer.h:173-180)."""
+    row = ss.cmf_gamma[eye_id]
+    c = jnp.take_along_axis(row, light_id[..., None], axis=-1)[..., 0]
+    prev = jnp.take_along_axis(row, jnp.maximum(light_id - 1, 0)[..., None],
+                               axis=-1)[..., 0]
+    return jnp.where(light_id == 0, c, c - prev)
+
+
+def gamma_ss(ss: SubspaceState, eye_id, light_id):
+    """Connect-rate kernel Gamma/Q (optixPathTracer.h:182-189); 1 when
+    untrained."""
+    if not ss.trained:
+        return jnp.ones(jnp.broadcast_shapes(eye_id.shape, light_id.shape))
+    return gamma_block(ss, eye_id, light_id) / ss.q[light_id]
+
+
+def build_classifier(pos: np.ndarray, normal: np.ndarray, weight: np.ndarray,
+                     n_labels: int, label_bias: int = 0,
+                     max_samples: int = 100_000) -> Classifier:
+    """Weighted-quantile centroid seeding (classTree_host.h:313-322): walk the
+    samples accumulating weight; every time the accumulator crosses
+    total/n_labels, the current sample becomes a centroid."""
+    pos = np.asarray(pos, np.float64)
+    normal = np.asarray(normal, np.float64)
+    weight = np.asarray(weight, np.float64)
+    if len(pos) > max_samples:
+        sel = np.random.default_rng(0).choice(len(pos), max_samples,
+                                              replace=False)
+        pos, normal, weight = pos[sel], normal[sel], weight[sel]
+    mean = pos.mean(axis=0)
+    var = ((pos - mean) ** 2).sum(axis=0) / max(len(pos) - 1, 1)
+    diag2 = float(var.max())
+
+    total = weight.sum()
+    step = total / n_labels
+    acc = np.cumsum(weight)
+    # indices where the accumulator crosses each multiple of `step`
+    ticks = np.searchsorted(acc, step * (1 + np.arange(n_labels)), side="right")
+    ticks = np.unique(np.clip(ticks, 0, len(pos) - 1))
+    cp = pos[ticks]
+    cn = normal[ticks]
+    if len(cp) < n_labels:  # pad by repeating last center
+        reps = n_labels - len(cp)
+        cp = np.concatenate([cp, np.repeat(cp[-1:], reps, axis=0)])
+        cn = np.concatenate([cn, np.repeat(cn[-1:], reps, axis=0)])
+    return Classifier(centers_pos=jnp.asarray(cp, jnp.float32),
+                      centers_norm=jnp.asarray(cn, jnp.float32),
+                      diag2=jnp.float32(diag2), label_bias=label_bias)
