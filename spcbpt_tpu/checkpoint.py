@@ -1,0 +1,49 @@
+"""Checkpoint / resume of trained artifacts.
+
+The reference can dump/reload trees, Q and Gamma as text files
+(reference: classTree_host.h:15-60 tree_eye.txt/tree_light.txt,
+device_thrust.cu:3347-3404 Q.txt/E.txt; hooks optixPathTracer.cpp:573-603).
+Here the whole SubspaceState (classifiers + Q + CMFGamma) plus optionally the
+film serialize as one npz.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .train import classify
+
+
+def save_subspace_state(path: str, ss: classify.SubspaceState,
+                        film=None) -> None:
+    arrays = dict(
+        eye_centers_pos=np.asarray(ss.eye.centers_pos),
+        eye_centers_norm=np.asarray(ss.eye.centers_norm),
+        eye_diag2=np.asarray(ss.eye.diag2),
+        light_centers_pos=np.asarray(ss.light.centers_pos),
+        light_centers_norm=np.asarray(ss.light.centers_norm),
+        light_diag2=np.asarray(ss.light.diag2),
+        q=np.asarray(ss.q),
+        cmf_gamma=np.asarray(ss.cmf_gamma),
+        trained=np.asarray(ss.trained),
+    )
+    if film is not None:
+        arrays["film_accum"] = np.asarray(film.accum)
+        arrays["film_subframe"] = np.asarray(film.subframe)
+        arrays["film_shape"] = np.asarray([film.width, film.height])
+    np.savez_compressed(path, **arrays)
+
+
+def load_subspace_state(path: str) -> classify.SubspaceState:
+    z = np.load(path)
+    eye = classify.Classifier(centers_pos=jnp.asarray(z["eye_centers_pos"]),
+                              centers_norm=jnp.asarray(z["eye_centers_norm"]),
+                              diag2=jnp.asarray(z["eye_diag2"]))
+    light = classify.Classifier(
+        centers_pos=jnp.asarray(z["light_centers_pos"]),
+        centers_norm=jnp.asarray(z["light_centers_norm"]),
+        diag2=jnp.asarray(z["light_diag2"]))
+    return classify.SubspaceState(eye=eye, light=light,
+                                  q=jnp.asarray(z["q"]),
+                                  cmf_gamma=jnp.asarray(z["cmf_gamma"]),
+                                  trained=bool(z["trained"]))

@@ -93,3 +93,27 @@ def native_build_bvh(tri_p0, tri_e1, tri_e2, leaf_size: int):
                    skip=skip[:n_nodes], leaf_start=leaf_start[:n_nodes],
                    leaf_count=leaf_count[:n_nodes], order=order,
                    max_depth=int(out_depth[0]))
+
+
+def native_load_obj(path: str):
+    """Returns MeshData or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "obj_count"):
+        return None
+    from ..scene.obj import MeshData
+
+    lib.obj_count.restype = ctypes.c_int64
+    lib.obj_load.restype = ctypes.c_int64
+    pb = path.encode()
+    t = lib.obj_count(ctypes.c_char_p(pb))
+    if t < 0:
+        return None
+    pos = np.zeros((t, 3, 3), np.float32)
+    nrm = np.zeros((t, 3, 3), np.float32)
+    uv = np.zeros((t, 3, 2), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    got = lib.obj_load(ctypes.c_char_p(pb), pos.ctypes.data_as(f32p),
+                       nrm.ctypes.data_as(f32p), uv.ctypes.data_as(f32p))
+    if got != t:
+        return None
+    return MeshData(positions=pos, normals=nrm, uvs=uv)

@@ -1,0 +1,136 @@
+"""Multi-chip rendering and training via jax.sharding (new capability — the
+reference is single-GPU, SURVEY.md §2 note).
+
+Layout (BASELINE.md config 5, "multi-chip tiled SPCBPT"):
+- 2-D device mesh (tile, spp): pixel rows shard over `tile`, independent
+  sample streams shard over `spp` and reduce with pmean over ICI.
+- Scene, BVH, Gamma/Q and classifiers are replicated (they are small; the
+  film and ray state dominate).
+- The LVC is regenerated per chip with decorrelated seeds instead of
+  all-gathered — zero communication, and more total light paths.
+- Gamma training is standard data parallelism: batch shards over the mesh,
+  gradients psum.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..render import light_trace, lvc, pt, spcbpt
+from ..utils import rng as rng_mod
+
+
+def make_mesh(devices=None, tile: int | None = None, spp: int | None = None):
+    """Build a (tile, spp) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if tile is None:
+        spp = spp or (2 if n % 2 == 0 and n > 1 else 1)
+        tile = n // spp
+    elif spp is None:
+        spp = n // tile
+    assert tile * spp == n, f"mesh {tile}x{spp} != {n} devices"
+    import numpy as np
+    return Mesh(np.asarray(devices).reshape(tile, spp), ("tile", "spp"))
+
+
+def _block_camera_rays(eye, U, V, W, width, height, rows_per_tile, tile_idx,
+                       stream_idx, subframe):
+    """Camera rays for one device's row block; seeds follow the global pixel
+    index so results are identical to the single-chip renderer, with the
+    sample-stream axis folded into the frame index."""
+    n = width * rows_per_tile
+    local = jnp.arange(n, dtype=jnp.uint32)
+    lane = local + jnp.uint32(width) * jnp.uint32(rows_per_tile) * tile_idx.astype(jnp.uint32)
+    frame = jnp.asarray(subframe, jnp.uint32) * jnp.uint32(4096) \
+        + stream_idx.astype(jnp.uint32)
+    state = rng_mod.seed(lane, frame)
+    jx, state = rng_mod.next_float(state)
+    jy, state = rng_mod.next_float(state)
+    x = (lane % width).astype(jnp.float32)
+    y = (lane // width).astype(jnp.float32)
+    dx = 2.0 * (x + jx) / width - 1.0
+    dy = 2.0 * (y + jy) / height - 1.0
+    d = dx[:, None] * U + dy[:, None] * V + W
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(eye, d.shape)
+    return o, d, state
+
+
+def sharded_pt_render(ts, cam_uvw, width: int, height: int, subframe,
+                      mesh: Mesh, max_depth: int = 12):
+    """One progressive PT sample for the full image, pixels sharded over
+    `tile`, sample streams averaged over `spp` with pmean (ICI psum).
+    Returns (width*height, 3) sharded along axis 0 over `tile`."""
+    eye, U, V, W = [jnp.asarray(x, jnp.float32) for x in cam_uvw]
+    n_tile = mesh.shape["tile"]
+    assert height % n_tile == 0, (height, n_tile)
+    rows = height // n_tile
+
+    def local(ts_rep):
+        ti = jax.lax.axis_index("tile")
+        si = jax.lax.axis_index("spp")
+        o, d, state = _block_camera_rays(eye, U, V, W, width, height, rows,
+                                         ti, si, subframe)
+        img = pt.make_pt_step(ts_rep, max_depth)(o, d, state)
+        return jax.lax.pmean(img, "spp")
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(),), out_specs=P("tile"))
+    return fn(ts)
+
+
+def sharded_spcbpt_render(ts, ss, cam_uvw, width: int, height: int, subframe,
+                          mesh: Mesh, light_paths_per_chip: int = 8192,
+                          light_depth: int = 8, max_depth: int = 12,
+                          connection_n: int = 3, uniform: bool = False):
+    """Multi-chip tiled SPCBPT: each chip traces its own light sub-paths
+    (decorrelated seeds), builds its local LVC sampler, renders its pixel-row
+    block, and sample streams pmean over `spp`."""
+    eye, U, V, W = [jnp.asarray(x, jnp.float32) for x in cam_uvw]
+    n_tile = mesh.shape["tile"]
+    assert height % n_tile == 0
+    rows = height // n_tile
+
+    def local(ts_rep, ss_rep):
+        ti = jax.lax.axis_index("tile")
+        si = jax.lax.axis_index("spp")
+        chip = ti * mesh.shape["spp"] + si
+        frame = jnp.asarray(subframe, jnp.uint32) * jnp.uint32(65536) \
+            + chip.astype(jnp.uint32)
+        lv = light_trace.trace_light_paths(ts_rep, ss_rep,
+                                           light_paths_per_chip, frame,
+                                           max_depth=light_depth)
+        sampler = lvc.build_sampler(lv)
+        o, d, state = _block_camera_rays(eye, U, V, W, width, height, rows,
+                                         ti, si, subframe)
+        step = spcbpt.make_spcbpt_step(ts_rep, ss_rep, sampler, max_depth,
+                                       connection_n, uniform)
+        img = step(o, d, state)
+        return jax.lax.pmean(img, "spp")
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P()), out_specs=P("tile"))
+    return fn(ts, ss)
+
+
+def dp_gamma_train_step(theta, opt_state, batch, opt, mesh: Mesh):
+    """One data-parallel Gamma training step: the batch shards over the whole
+    mesh (both axes flattened), loss/gradients pmean inside shard_map, and the
+    replicated optimizer update happens outside."""
+    import optax
+    from ..train.gamma_train import loss_fn
+
+    def inner(batch):
+        loss, g = jax.value_and_grad(loss_fn)(theta, batch)
+        return (jax.lax.pmean(loss, ("tile", "spp")),
+                jax.lax.pmean(g, ("tile", "spp")))
+
+    loss, g = shard_map(
+        inner, mesh=mesh,
+        in_specs=(jax.tree_util.tree_map(lambda _: P(("tile", "spp")), batch),),
+        out_specs=(P(), P()))(batch)
+    updates, new_opt = opt.update(g, opt_state)
+    return optax.apply_updates(theta, updates), new_opt, loss

@@ -41,8 +41,11 @@ class LightVertices:
 
 
 def reshape_flat(lv: LightVertices) -> LightVertices:
-    """Collapse leading axes to one flat vertex axis."""
+    """Collapse the batch axes to one flat vertex axis. The batch rank is
+    taken from `valid` (a pure-batch field), so feature axes like xyz
+    survive regardless of how many batch dims the input has."""
+    batch_ndim = lv.valid.ndim
+
     def r(a):
-        extra = a.shape[2:] if a.ndim > 2 else ()
-        return a.reshape((-1,) + extra)
+        return a.reshape((-1,) + a.shape[batch_ndim:])
     return jax.tree_util.tree_map(r, lv)

@@ -33,6 +33,17 @@ def _parse_index(token: str, nv: int, nt: int, nn: int):
 
 
 def load_obj(path: str) -> MeshData:
+    try:
+        from ..native.loader import native_load_obj
+        out = native_load_obj(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return load_obj_python(path)
+
+
+def load_obj_python(path: str) -> MeshData:
     verts: list = []
     norms: list = []
     uvs: list = []

@@ -235,24 +235,14 @@ def make_pretracer(ts: TraceScene, cam_uvw, n_core: int,
             depth=jnp.zeros((n_core, padding), jnp.int32),
         )
 
-        # reservoir state
-        res_path = dict(contri=jnp.zeros((n_core, 3)),
-                        sample_pdf=jnp.zeros((n_core,)),
-                        fix_pdf=jnp.zeros((n_core,)),
-                        n_conns=jnp.zeros((n_core,), jnp.int32))
-        res_conn = dict(
-            a_position=jnp.zeros((n_core, padding, 3)),
-            a_normal=jnp.zeros((n_core, padding, 3)),
-            a_dir=jnp.zeros((n_core, padding, 3)),
-            b_position=jnp.zeros((n_core, padding, 3)),
-            b_normal=jnp.zeros((n_core, padding, 3)),
-            b_dir=jnp.zeros((n_core, padding, 3)),
-            peak_pdf=jnp.zeros((n_core, padding)),
-            label_a=jnp.zeros((n_core, padding), jnp.int32),
-            label_b=jnp.zeros((n_core, padding), jnp.int32),
-            light_source=jnp.zeros((n_core, padding), bool),
-            conn_valid=jnp.zeros((n_core, padding), bool),
-        )
+        # reservoir state: the chosen candidate (split index + light record)
+        chosen = dict(k=jnp.ones((n_core,), jnp.int32),
+                      position=jnp.zeros((n_core, 3)),
+                      normal=jnp.zeros((n_core, 3)),
+                      weight=jnp.zeros((n_core, 3)),
+                      pdf=jnp.ones((n_core,)),
+                      label=jnp.zeros((n_core,), jnp.int32),
+                      is_dir=jnp.zeros((n_core,), bool))
 
         carry = dict(o=o, d=d, state=state, buf=buf,
                      k=jnp.ones((n_core,), jnp.int32),
@@ -260,23 +250,24 @@ def make_pretracer(ts: TraceScene, cam_uvw, n_core: int,
                      pending_f=jnp.ones((n_core, 3)),
                      pending_single=jnp.ones((n_core,)),
                      n_resample=jnp.zeros((n_core,), jnp.int32),
-                     res_path=res_path, res_conn=res_conn,
+                     chosen=chosen,
                      done=jnp.zeros((n_core,), bool))
 
         def accept(c, light, cond):
-            """Reservoir-accept (rr_acc_accept raygen.cu:741-749) and build."""
+            """Reservoir-accept (rr_acc_accept raygen.cu:741-749): streaming
+            1/(n+1) replacement of the lane's chosen candidate. Only the
+            candidate (split index k + light record) is stored here; the path
+            info is built once after the scan — the reference rebuilds it per
+            acceptance inside the trace loop, which is redundant work."""
             r, st = rng_mod.next_float(c["state"])
             take = cond & (1.0 / (c["n_resample"].astype(jnp.float32) + 1.0) > r)
-            path, conn = _build_path_info(ts, c["buf"], c["k"], light)
-            new_res_path = {kk: jnp.where(
-                take.reshape(take.shape + (1,) * (path[kk].ndim - 1)),
-                path[kk], c["res_path"][kk]) for kk in path}
-            new_res_conn = {kk: jnp.where(
-                take.reshape(take.shape + (1,) * (conn[kk].ndim - 1)),
-                conn[kk], c["res_conn"][kk]) for kk in conn}
+            sel = lambda new, old: jnp.where(
+                take.reshape(take.shape + (1,) * (new.ndim - 1)), new, old)
+            chosen = {"k": sel(c["k"], c["chosen"]["k"])}
+            for kk, vv in light.items():
+                chosen[kk] = sel(vv, c["chosen"][kk])
             n_res = c["n_resample"] + jnp.where(cond, 1, 0)
-            return dict(c, state=st, res_path=new_res_path,
-                        res_conn=new_res_conn, n_resample=n_res)
+            return dict(c, state=st, chosen=chosen, n_resample=n_res)
 
         def body(c, _):
             hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True)
@@ -373,27 +364,32 @@ def make_pretracer(ts: TraceScene, cam_uvw, n_core: int,
 
         c, _ = jax.lax.scan(body, carry, None, length=max_depth)
 
+        # build the chosen candidate's records once (vs per-acceptance in the
+        # reference trace loop)
+        light_rec = {kk: c["chosen"][kk] for kk in
+                     ("position", "normal", "weight", "pdf", "label", "is_dir")}
+        path, conn = _build_path_info(ts, c["buf"], c["chosen"]["k"], light_rec)
+
         n_res = jnp.maximum(c["n_resample"], 1)
-        sample_pdf = c["res_path"]["sample_pdf"] / n_res.astype(jnp.float32)
-        valid = (c["n_resample"] > 0) & (c["res_path"]["n_conns"] > 0) \
-            & (vec.float3weight(c["res_path"]["contri"]) > 0) \
-            & jnp.isfinite(sample_pdf) & jnp.isfinite(
-                vec.float3weight(c["res_path"]["contri"]))
+        sample_pdf = path["sample_pdf"] / n_res.astype(jnp.float32)
+        valid = (c["n_resample"] > 0) & (path["n_conns"] > 0) \
+            & (vec.float3weight(path["contri"]) > 0) \
+            & jnp.isfinite(sample_pdf) \
+            & jnp.isfinite(vec.float3weight(path["contri"]))
         px = jnp.stack([(pixel[:, 0] * 65535).astype(jnp.int32),
                         (pixel[:, 1] * 65535).astype(jnp.int32)], axis=-1)
-        rc = c["res_conn"]
-        nc = c["res_path"]["n_conns"]
+        nc = path["n_conns"]
         slot_valid = (jnp.arange(padding)[None, :] < nc[:, None]) & valid[:, None]
         return PretraceBatch(
-            contri=c["res_path"]["contri"], sample_pdf=sample_pdf,
-            fix_pdf=c["res_path"]["fix_pdf"], n_conns=nc, pixel=px,
+            contri=path["contri"], sample_pdf=sample_pdf,
+            fix_pdf=path["fix_pdf"], n_conns=nc, pixel=px,
             valid=valid,
-            a_position=rc["a_position"], a_normal=rc["a_normal"],
-            a_dir=rc["a_dir"], b_position=rc["b_position"],
-            b_normal=rc["b_normal"], b_dir=rc["b_dir"],
-            peak_pdf=rc["peak_pdf"], label_a=rc["label_a"],
-            label_b=rc["label_b"], light_source=rc["light_source"],
-            conn_valid=rc["conn_valid"] & slot_valid)
+            a_position=conn["a_position"], a_normal=conn["a_normal"],
+            a_dir=conn["a_dir"], b_position=conn["b_position"],
+            b_normal=conn["b_normal"], b_dir=conn["b_dir"],
+            peak_pdf=conn["peak_pdf"], label_a=conn["label_a"],
+            label_b=conn["label_b"], light_source=conn["light_source"],
+            conn_valid=conn["conn_valid"] & slot_valid)
 
     return launch
 

@@ -1,0 +1,133 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spcbpt_tpu.ops.cmf import segment_pmf, segment_searchsorted
+from spcbpt_tpu.utils import rng as rng_mod
+
+
+def test_segment_searchsorted_matches_numpy():
+    rng = np.random.default_rng(0)
+    # three segments of different sizes inside one flat array
+    sizes = [5, 1, 17]
+    cmfs = []
+    for s in sizes:
+        w = rng.uniform(0.1, 1.0, s)
+        cmfs.append(np.cumsum(w) / w.sum())
+    flat = jnp.asarray(np.concatenate(cmfs), jnp.float32)
+    base = jnp.asarray([0, 5, 6], jnp.int32)
+    size = jnp.asarray(sizes, jnp.int32)
+
+    xs = np.asarray([0.0, 0.3, 0.99, 0.5], np.float32)
+    for x in xs:
+        got = np.asarray(segment_searchsorted(
+            flat, base, size, jnp.full(3, x), max_size=32))
+        for seg in range(3):
+            expect = int(np.searchsorted(cmfs[seg], x, side="right"))
+            expect = min(expect, sizes[seg] - 1)
+            assert got[seg] == expect, (seg, x, got[seg], expect)
+
+
+def test_segment_sampling_distribution():
+    """Sampling through the segmented CMF must reproduce the weights."""
+    rng = np.random.default_rng(1)
+    w = rng.uniform(0.0, 1.0, 16)
+    w[3] = 0.0
+    cmf = np.cumsum(w) / w.sum()
+    flat = jnp.asarray(cmf, jnp.float32)
+    n = 200_000
+    state = rng_mod.seed(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(5))
+    r, _ = rng_mod.next_float(state)
+    base = jnp.zeros(n, jnp.int32)
+    size = jnp.full(n, 16, jnp.int32)
+    idx = np.asarray(jax.jit(
+        lambda r: segment_searchsorted(flat, base, size, r, 16))(r))
+    hist = np.bincount(idx, minlength=16) / n
+    np.testing.assert_allclose(hist, w / w.sum(), atol=0.01)
+    # pmf recovery
+    pmf = np.asarray(segment_pmf(flat, base[:16], jnp.arange(16)))
+    np.testing.assert_allclose(pmf, w / w.sum(), rtol=1e-5, atol=1e-7)
+
+
+def test_lvc_sampler_structure():
+    """build_sampler groups vertices by subspace with normalized segment CMFs."""
+    from spcbpt_tpu.render.lvc import build_sampler
+    from spcbpt_tpu.render.vertex import LightVertices
+    from spcbpt_tpu.config import NUM_SUBSPACE
+
+    n = 64
+    rng = np.random.default_rng(2)
+    sub = rng.integers(0, 5, n).astype(np.int32)
+    valid = rng.uniform(size=n) > 0.2
+    flux = rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)
+    pdf = rng.uniform(0.5, 2.0, n).astype(np.float32)
+
+    z3 = jnp.zeros((n, 3))
+    zb = jnp.zeros(n, bool)
+    lv = LightVertices(
+        position=z3, normal=z3, flux=jnp.asarray(flux), color=z3,
+        last_position=z3, pdf=jnp.asarray(pdf), single_pdf=jnp.ones(n),
+        last_normal_proj=jnp.ones(n), last_lum=jnp.zeros(n),
+        rmis=jnp.ones(n), mat_id=jnp.zeros(n, jnp.int32),
+        subspace_id=jnp.asarray(sub), last_zone_id=jnp.zeros(n, jnp.int32),
+        depth=jnp.zeros(n, jnp.int32), is_origin=jnp.ones(n, bool),
+        is_env=zb, is_ll_direction=zb, is_brdf=zb, last_brdf=zb,
+        valid=jnp.asarray(valid))
+    s = jax.jit(build_sampler)(lv)
+
+    assert int(s.vertex_count) == valid.sum()
+    assert int(s.path_count) == valid.sum()  # all depth 0 here
+    seg_size = np.asarray(s.seg_size)
+    for k in range(5):
+        assert seg_size[k] == ((sub == k) & valid).sum()
+    assert seg_size[5:].sum() == 0
+    # weights grouped correctly: seg_sum matches manual sums
+    w = flux.sum(-1) / pdf
+    seg_sum = np.asarray(s.seg_sum)
+    for k in range(5):
+        np.testing.assert_allclose(seg_sum[k], w[(sub == k) & valid].sum(),
+                                   rtol=1e-5)
+    # cmf of each segment ends at 1
+    cmf = np.asarray(s.cmf)
+    start = np.asarray(s.seg_start)
+    for k in range(5):
+        if seg_size[k]:
+            end = start[k] + seg_size[k] - 1
+            np.testing.assert_allclose(cmf[end], 1.0, rtol=1e-5)
+    # order points to valid vertices first
+    order = np.asarray(s.order)
+    assert valid[order[:valid.sum()]].all()
+
+
+def test_classifier_roundtrip():
+    """Centroid classifier: samples at the centers classify to themselves."""
+    from spcbpt_tpu.train import classify
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(-1, 1, (500, 3))
+    norm = rng.normal(size=(500, 3))
+    norm /= np.linalg.norm(norm, axis=-1, keepdims=True)
+    w = rng.uniform(0.1, 1.0, 500)
+    cls = classify.build_classifier(pos, norm, w, 32)
+    assert cls.centers_pos.shape == (32, 3)
+    labels = np.asarray(classify.classify(cls, cls.centers_pos,
+                                          cls.centers_norm))
+    np.testing.assert_array_equal(labels, np.arange(32))
+
+
+def test_gamma_cmf_roundtrip():
+    from spcbpt_tpu.train import classify, qgamma
+    from spcbpt_tpu.config import NUM_SUBSPACE, CONSERVATIVE_RATE
+    rng = np.random.default_rng(4)
+    g = rng.uniform(0, 1, (NUM_SUBSPACE, NUM_SUBSPACE)).astype(np.float32)
+    g /= g.sum(1, keepdims=True)
+    cmf = np.asarray(qgamma.gamma_to_cmf(jnp.asarray(g)))
+    assert np.allclose(cmf[:, -1], 1.0)
+    ss = classify.SubspaceState(
+        eye=classify.dummy_classifier(), light=classify.dummy_classifier(),
+        q=jnp.ones(NUM_SUBSPACE), cmf_gamma=jnp.asarray(cmf), trained=True)
+    eye_id = jnp.asarray([0, 5, 17])
+    light_id = jnp.asarray([0, 1, 999])
+    got = np.asarray(classify.gamma_block(ss, eye_id, light_id))
+    expect = (g * (1 - CONSERVATIVE_RATE) + CONSERVATIVE_RATE / NUM_SUBSPACE)[
+        np.asarray(eye_id), np.asarray(light_id)]
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-7)
