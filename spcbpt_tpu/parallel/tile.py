@@ -79,7 +79,8 @@ def sharded_pt_render(ts, cam_uvw, width: int, height: int, subframe,
         img = pt.make_pt_step(ts_rep, max_depth)(o, d, state)
         return jax.lax.pmean(img, "spp")
 
-    fn = shard_map(local, mesh=mesh, in_specs=(P(),), out_specs=P("tile"))
+    fn = shard_map(local, mesh=mesh, in_specs=(P(),), out_specs=P("tile"),
+                   check_rep=False)
     return fn(ts)
 
 
@@ -112,7 +113,8 @@ def sharded_spcbpt_render(ts, ss, cam_uvw, width: int, height: int, subframe,
         img = step(o, d, state)
         return jax.lax.pmean(img, "spp")
 
-    fn = shard_map(local, mesh=mesh, in_specs=(P(), P()), out_specs=P("tile"))
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P()), out_specs=P("tile"),
+                   check_rep=False)
     return fn(ts, ss)
 
 
@@ -131,6 +133,6 @@ def dp_gamma_train_step(theta, opt_state, batch, opt, mesh: Mesh):
     loss, g = shard_map(
         inner, mesh=mesh,
         in_specs=(jax.tree_util.tree_map(lambda _: P(("tile", "spp")), batch),),
-        out_specs=(P(), P()))(batch)
+        out_specs=(P(), P()), check_rep=False)(batch)
     updates, new_opt = opt.update(g, opt_state)
     return optax.apply_updates(theta, updates), new_opt, loss

@@ -49,9 +49,23 @@ def build_train_data(batch, q, label_a, label_b) -> GammaTrainData:
                      0.0, peak)
     label_e = (jnp.clip(label_a, 0, NUM_SUBSPACE - 1) * NUM_SUBSPACE
                + jnp.clip(label_b, 0, NUM_SUBSPACE - 1))
-    return GammaTrainData(f_square=f_square, pdf0=batch.fix_pdf, peak=peak,
+    # sanitize: non-finite entries on invalid lanes would leak NaN gradients
+    # through the masked loss (the where-grad trap)
+    pdf0 = jnp.where(jnp.isfinite(batch.fix_pdf), batch.fix_pdf, 0.0)
+    f_square = jnp.where(jnp.isfinite(f_square), f_square, 0.0)
+    valid = batch.valid & jnp.isfinite(batch.fix_pdf) & (batch.fix_pdf > 0.0)
+    # condition the optimization: the loss is invariant under a joint scale of
+    # (f_square, pdf0, peak) — normalize so denominators are O(1), otherwise
+    # scene-unit-dependent pdf magnitudes (area pdfs ~ 1/dist^2 products)
+    # underflow den^2 in the f32 backward pass
+    denom_proxy = pdf0 + jnp.sum(peak, axis=1)
+    mean_den = (jnp.sum(jnp.where(valid, denom_proxy, 0.0))
+                / jnp.maximum(jnp.sum(valid), 1))
+    scale = 1.0 / jnp.maximum(mean_den, 1e-30)
+    return GammaTrainData(f_square=f_square * scale, pdf0=pdf0 * scale,
+                          peak=peak * scale,
                           label_e=label_e.astype(jnp.int32),
-                          valid=batch.valid)
+                          valid=valid)
 
 
 def clamp_outliers(td: GammaTrainData, sample: int = 1000) -> GammaTrainData:
@@ -83,8 +97,11 @@ def theta_from_gamma(gamma, eps: float = 1e-6):
 def loss_fn(theta, batch: GammaTrainData):
     e = gamma_from_theta(theta).reshape(-1)
     pdf_sum = jnp.sum(e[batch.label_e] * batch.peak, axis=1)
-    loss = batch.f_square / jnp.maximum(batch.pdf0 + pdf_sum, 1e-30)
-    loss = jnp.where(batch.valid, loss, 0.0)
+    # epsilon-floored denominator: build_train_data normalizes the dataset so
+    # mean(den) ~ 1, making 1e-9 a pure numerical guard. (A where-guard is NOT
+    # enough: valid lanes can have den ~ 0, and d(f/den) = -f/den^2 hits 0/0.)
+    den = batch.pdf0 + pdf_sum + 1e-9
+    loss = jnp.where(batch.valid, batch.f_square, 0.0) / den
     return jnp.sum(loss) / jnp.maximum(jnp.sum(batch.valid), 1)
 
 
@@ -93,7 +110,8 @@ def train_gamma(gamma_init, td: GammaTrainData, lr: float = 0.01,
                 log_every: int = 0):
     """Adam over minibatches; returns (trained Gamma, losses per step)."""
     theta = theta_from_gamma(gamma_init)
-    opt = optax.adam(lr, b1=0.9, b2=0.999)
+    opt = optax.chain(optax.zero_nans(),
+                      optax.adam(lr, b1=0.9, b2=0.999))
     opt_state = opt.init(theta)
     n = td.f_square.shape[0]
     steps_per_epoch = max(n // batch_size, 1)
