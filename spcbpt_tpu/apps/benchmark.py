@@ -1,0 +1,150 @@
+"""Quality/performance benchmark harness: relMSE at equal time or equal spp.
+
+Implements the BASELINE.md comparisons: PT / classic BDPT / SPCBPT on the
+bundled scenes, against a high-spp PT ground truth, reporting relMSE and
+throughput. This is the quantitative version of the reference's manual
+Space-toggle A/B check (SURVEY.md §4).
+
+Usage:
+  python -m spcbpt_tpu.apps.benchmark --scene cornell --dim 256x256 \
+      --ref-spp 512 --spp 16 --algs pt,bdpt,spcbpt --json out.json
+  python -m spcbpt_tpu.apps.benchmark --equal-time 10  # seconds per alg
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", default="cornell")
+    p.add_argument("--dim", default="256x256")
+    p.add_argument("--ref-spp", type=int, default=256)
+    p.add_argument("--spp", type=int, default=16)
+    p.add_argument("--equal-time", type=float, default=None,
+                   help="seconds per algorithm instead of fixed spp")
+    p.add_argument("--algs", default="pt,bdpt,spcbpt")
+    p.add_argument("--max-depth", type=int, default=12)
+    p.add_argument("--light-paths", type=int, default=65536)
+    p.add_argument("--light-depth", type=int, default=8)
+    p.add_argument("--train-samples", type=int, default=200_000)
+    p.add_argument("--json", default=None)
+    p.add_argument("--save-images", default=None, help="dir for PNGs")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from ..runtime import setup as _setup
+    _setup()
+    from ..config import PretraceConfig
+    from ..render import light_trace, lvc, pt_pool, spcbpt
+    from ..render.common import accumulate
+    from ..scene.scene import load_trace_scene
+    from ..train import classify, pipeline
+    from ..utils.image import rel_mse, to_display, write_png
+    from .render_cli import resolve_scene
+
+    width, height = map(int, args.dim.lower().split("x"))
+    ts, desc, cam = load_trace_scene(resolve_scene(args.scene))
+    cam.aspect = width / height
+    eye, U, V, W = cam.uvw()
+
+    results = {"scene": args.scene, "dim": args.dim, "algs": {}}
+
+    # ground truth: high-spp PT via the pool renderer
+    print(f"[ref] PT {args.ref_spp} spp ...", flush=True)
+    t0 = time.time()
+    fsum, count = pt_pool.render_pool_jit(ts, eye, U, V, W, width, height,
+                                          args.ref_spp, 10_000,
+                                          max_depth=args.max_depth)
+    jax.block_until_ready(fsum)
+    ref = np.asarray(fsum) / np.maximum(np.asarray(count)[:, None], 1)
+    print(f"[ref] done in {time.time()-t0:.1f}s", flush=True)
+
+    algs = args.algs.split(",")
+    ss_trained = None
+
+    def render_alg(alg, budget_s=None, spp=None):
+        nonlocal ss_trained
+        ss = classify.untrained_state()
+        if alg == "spcbpt":
+            if ss_trained is None:
+                cfg = PretraceConfig(num_core=8192,
+                                     target_samples=args.train_samples,
+                                     target_q_samples=args.train_samples)
+                ss_trained, _ = pipeline.preprocess(
+                    ts, (eye, U, V, W), width, height, cfg,
+                    lt_paths=min(args.light_paths, 50_000),
+                    lt_depth=args.light_depth)
+            ss = ss_trained
+        if alg == "pt":
+            def one(s, acc):
+                fs, ct = pt_pool.render_pool_jit(
+                    ts, eye, U, V, W, width, height, 1, s,
+                    max_depth=args.max_depth)
+                return accumulate(acc, fs / jnp.maximum(ct[:, None], 1), s)
+        else:
+            uniform = alg == "bdpt"
+            lt = jax.jit(lambda f: light_trace.trace_light_paths(
+                ts, ss, args.light_paths, f, max_depth=args.light_depth))
+            build = jax.jit(lvc.build_sampler)
+
+            def one(s, acc):
+                sampler = build(lt(s + 7919))
+                img = spcbpt.render_frame_jit(
+                    ts, ss, sampler, eye, U, V, W, width, height, s,
+                    max_depth=args.max_depth, uniform=uniform)
+                return accumulate(acc, img, s)
+
+        acc = jnp.zeros((width * height, 3))
+        # warm up / compile outside the timed loop
+        acc = one(0, acc)
+        jax.block_until_ready(acc)
+        t0 = time.time()
+        s = 1
+        while True:
+            acc = one(s, acc)
+            s += 1
+            if budget_s is not None:
+                jax.block_until_ready(acc)
+                if time.time() - t0 > budget_s:
+                    break
+            elif s >= spp:
+                break
+        jax.block_until_ready(acc)
+        return np.asarray(acc), s, time.time() - t0
+
+    for alg in algs:
+        print(f"[bench] {alg} ...", flush=True)
+        img, spp_done, dt = render_alg(
+            alg, budget_s=args.equal_time,
+            spp=None if args.equal_time else args.spp)
+        e = rel_mse(img, ref)
+        results["algs"][alg] = {"relmse": e, "spp": spp_done, "seconds": dt}
+        print(f"[bench] {alg}: relMSE {e:.5f} at {spp_done} spp "
+              f"({dt:.1f}s)", flush=True)
+        if args.save_images:
+            import os
+            os.makedirs(args.save_images, exist_ok=True)
+            write_png(f"{args.save_images}/{alg}.png",
+                      to_display(jnp.asarray(img.reshape(height, width, 3)))[::-1])
+    if args.save_images:
+        from ..utils.image import write_png as wp
+        import jax.numpy as jnp2
+        wp(f"{args.save_images}/ref.png",
+           to_display(jnp2.asarray(ref.reshape(height, width, 3)))[::-1])
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

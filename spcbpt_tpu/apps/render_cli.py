@@ -124,15 +124,13 @@ def main(argv=None):
 
     t_render = time.time()
     if args.alg == "pt":
-        for s in range(spp):
-            t_f = time.time()
-            img = pt.render_frame_jit(ts, eye, U, V, W, width, height,
-                                      s + args.seed, max_depth)
-            film.add(img)
-            if s == 0 or (s + 1) % 16 == 0:
-                jax.block_until_ready(film.accum)
-                print(f"[frame {s+1}/{spp}] {1e3*(time.time()-t_f):.0f} ms",
-                      flush=True)
+        from ..render import pt_pool
+        fsum, count = pt_pool.render_pool_jit(
+            ts, eye, U, V, W, width, height, spp, args.seed,
+            max_depth=max_depth)
+        jax.block_until_ready(fsum)
+        film.accum = fsum / jnp.maximum(count[:, None], 1)
+        film.subframe = spp
     else:
         uniform = args.alg == "bdpt"
         lt_fn = jax.jit(lambda f: light_trace.trace_light_paths(

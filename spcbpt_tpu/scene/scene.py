@@ -275,6 +275,11 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
     pos_l, n_l, uv_l, matid_l, light_l = [], [], [], [], []
     for mesh in desc.meshes:
         path = os.path.join(data_dir, mesh.file)
+        if not os.path.exists(path):
+            # the reference repo ships only a subset of the house OBJs;
+            # skip with a warning instead of failing the whole scene
+            print(f"[scene] warning: missing mesh {mesh.file}, skipped")
+            continue
         md = obj_mod.load_obj(path)
         t = len(md.positions)
         if t == 0:
