@@ -89,6 +89,7 @@ def main(argv=None):
                     max_depth=args.max_depth)
                 return accumulate(acc, fs / jnp.maximum(ct[:, None], 1), s)
         else:
+            from ..render import spcbpt_pool
             uniform = alg == "bdpt"
             lt = jax.jit(lambda f: light_trace.trace_light_paths(
                 ts, ss, args.light_paths, f, max_depth=args.light_depth))
@@ -96,10 +97,10 @@ def main(argv=None):
 
             def one(s, acc):
                 sampler = build(lt(s + 7919))
-                img = spcbpt.render_frame_jit(
-                    ts, ss, sampler, eye, U, V, W, width, height, s,
+                fs, ct = spcbpt_pool.render_pool_jit(
+                    ts, ss, sampler, eye, U, V, W, width, height, 1, s,
                     max_depth=args.max_depth, uniform=uniform)
-                return accumulate(acc, img, s)
+                return accumulate(acc, fs / jnp.maximum(ct[:, None], 1), s)
 
         acc = jnp.zeros((width * height, 3))
         # warm up / compile outside the timed loop

@@ -132,23 +132,29 @@ def main(argv=None):
         film.accum = fsum / jnp.maximum(count[:, None], 1)
         film.subframe = spp
     else:
+        from ..render import spcbpt_pool
         uniform = args.alg == "bdpt"
         lt_fn = jax.jit(lambda f: light_trace.trace_light_paths(
             ts, ss, args.light_paths, f, max_depth=args.light_depth))
         build = jax.jit(lvc.build_sampler)
+        fsum = jnp.zeros((width * height, 3))
+        count = jnp.zeros((width * height,), jnp.int32)
         for s in range(spp):
             t_lt = time.time()
             sampler = build(lt_fn(s + args.seed + 7919))
             t_eye = time.time()
-            img = spcbpt.render_frame_jit(
-                ts, ss, sampler, eye, U, V, W, width, height, s + args.seed,
-                max_depth=max_depth, connection_n=args.connection_n,
-                uniform=uniform)
-            film.add(img)
+            fs, ct = spcbpt_pool.render_pool_jit(
+                ts, ss, sampler, eye, U, V, W, width, height, 1,
+                s + args.seed, max_depth=max_depth,
+                connection_n=args.connection_n, uniform=uniform)
+            fsum = fsum + fs
+            count = count + ct
             if s == 0 or (s + 1) % 16 == 0:
-                jax.block_until_ready(film.accum)
+                jax.block_until_ready(fsum)
                 print(f"[frame {s+1}/{spp}] light {1e3*(t_eye-t_lt):.0f} ms "
                       f"+ eye {1e3*(time.time()-t_eye):.0f} ms", flush=True)
+        film.accum = fsum / jnp.maximum(count[:, None], 1)
+        film.subframe = spp
 
     jax.block_until_ready(film.accum)
     dt = time.time() - t_render

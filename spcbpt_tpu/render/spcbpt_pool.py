@@ -1,0 +1,215 @@
+"""Path-regeneration SPCBPT/BDPT eye renderer (pool variant of
+render/spcbpt.py — same estimator, ~full lane utilization).
+
+One LVC sampler (one frame of light sub-paths) serves all samples of the
+call; the reference refreshes the LVC every progressive frame, so callers
+should use spp=1 per sampler for strict parity, or more for extra speed at
+slightly correlated light paths.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CONNECTION_N, MIN_RR_RATE, SCENE_EPSILON
+from ..ops import bsdf as bsdf_mod
+from ..ops import lights as lights_mod
+from ..scene.scene import TraceScene, local_geometry, trace_closest
+from ..train import classify
+from ..utils import rng as rng_mod
+from ..utils import vec
+from . import rmis
+from .lvc import LVCSampler
+from .rmis import EyeVertices
+from .spcbpt import _connections, _init_eye_vertices
+
+
+def render_pool(ts: TraceScene, ss: classify.SubspaceState,
+                sampler: LVCSampler, cam_uvw, width: int, height: int,
+                spp: int, subframe0=0, n_pool: int = 1 << 16,
+                max_depth: int = 16, connection_n: int = CONNECTION_N,
+                uniform: bool = False):
+    """Returns (film_sum (W*H, 3), counts (W*H,))."""
+    eye_p, U, V, W = [jnp.asarray(x, jnp.float32) for x in cam_uvw]
+    n_pixels = width * height
+    total = n_pixels * spp
+    n_pool = min(n_pool, total)
+
+    def camera_ray(pixel, rep):
+        state = rng_mod.seed(pixel.astype(jnp.uint32),
+                             jnp.asarray(subframe0, jnp.uint32)
+                             + rep.astype(jnp.uint32))
+        jx, state = rng_mod.next_float(state)
+        jy, state = rng_mod.next_float(state)
+        first = (jnp.asarray(subframe0, jnp.int32) + rep) == 0
+        jx = jnp.where(first, 0.5, jx)
+        jy = jnp.where(first, 0.5, jy)
+        x = (pixel % width).astype(jnp.float32)
+        y = (pixel // width).astype(jnp.float32)
+        dx = 2.0 * (x + jx) / width - 1.0
+        dy = 2.0 * (y + jy) / height - 1.0
+        d = dx[:, None] * U + dy[:, None] * V + W
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.broadcast_to(eye_p, d.shape), d, state
+
+    def fresh_lane_state(pixel, rep):
+        o, d, state = camera_ray(pixel, rep)
+        n = pixel.shape[0]
+        return dict(o=o, d=d, state=state, v=_init_eye_vertices(o, d),
+                    flux=jnp.ones((n, 3)), vpdf=jnp.ones((n,)),
+                    pending_f=jnp.ones((n, 3)),
+                    pending_single=jnp.ones((n,)),
+                    result=jnp.zeros((n, 3)),
+                    depth=jnp.zeros((n,), jnp.int32))
+
+    def init_state():
+        lane = jnp.arange(n_pool, dtype=jnp.int32)
+        pixel = lane % n_pixels
+        rep = lane // n_pixels
+        c = fresh_lane_state(pixel, rep)
+        c.update(pixel=pixel,
+                 alive=jnp.ones((n_pool,), bool),
+                 next_sample=jnp.asarray(n_pool, jnp.int32),
+                 film=jnp.zeros((n_pixels, 3)),
+                 count=jnp.zeros((n_pixels,), jnp.int32))
+        return c
+
+    def cond(c):
+        return jnp.any(c["alive"]) | (c["next_sample"] < total)
+
+    def body(c):
+        last = c["v"]
+        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True)
+        geom = local_geometry(ts, hit, c["o"], c["d"])
+        live = c["alive"]
+        miss = ~hit.valid & live
+        hit_light = hit.valid & (geom["light_id"] >= 0) & live
+        hit_surf = hit.valid & (geom["light_id"] < 0) & live
+
+        d = c["d"]
+        cos_mid_l = jnp.abs(vec.dot(geom["Ns"], d))
+        cos_last = jnp.abs(vec.dot(last.normal, d))
+        inv_t2 = 1.0 / jnp.maximum(hit.t * hit.t, 1e-20)
+
+        # emitter hit (hit_program.cu:62-147)
+        lid = jnp.maximum(geom["light_id"], 0)
+        ls_rev = lights_mod.reverse_sample_quad(ts, lid, geom["uv"])
+        cos_ln = jnp.abs(vec.dot(d, ls_rev.normal))
+        pdf_g_l = cos_ln * cos_last * inv_t2
+        front = vec.dot(d, ls_rev.normal) <= 0.0
+        flux_l = c["flux"] * (pdf_g_l[..., None] * ls_rev.emission)
+        single_l = c["pending_single"] * pdf_g_l / jnp.maximum(cos_last, 1e-20)
+        pdf_l = c["vpdf"] * single_l
+        direct = c["depth"] == 0
+        w_hit = rmis.light_hit(ts, ss, last, geom["P"], ls_rev.normal,
+                               ls_rev.emission, ls_rev.pdf, ls_rev.subspace_id)
+        w_hit = jnp.where(direct, 1.0, w_hit)
+        emit = flux_l / jnp.maximum(pdf_l, 1e-30)[..., None] * w_hit[..., None]
+        result = c["result"] + jnp.where((hit_light & front)[..., None],
+                                         vec.scrub(emit), 0.0)
+
+        # new eye vertex
+        pdf_g = cos_mid_l * cos_last * inv_t2
+        flux_mid = jnp.where((last.depth == 0)[..., None],
+                             c["flux"] * pdf_g[..., None],
+                             c["pending_f"] * c["flux"] * pdf_g[..., None])
+        single_mid = c["pending_single"] * pdf_g / jnp.maximum(cos_last, 1e-20)
+        pdf_mid = c["vpdf"] * single_mid
+        sub_mid = classify.label_eye(ss, geom["P"], geom["Ns"])
+        rmis3 = jnp.where((last.depth == 0)[..., None],
+                          jnp.zeros((geom["P"].shape[0], 3)),
+                          rmis.tracing_update_eye(ts, ss, last, geom["P"],
+                                                  jnp.zeros_like(hit_surf)))
+        mid = EyeVertices(
+            position=geom["P"], normal=geom["Ns"], color=geom["base_color"],
+            last_position=last.position, pdf=pdf_mid, single_pdf=single_mid,
+            last_normal_proj=cos_last, rmis3=rmis3,
+            mat_id=geom["mat_id"], subspace_id=sub_mid,
+            last_zone_id=last.subspace_id, depth=last.depth + 1,
+            is_ll_direction=jnp.zeros_like(hit_surf),
+            is_brdf=jnp.zeros_like(hit_surf), last_brdf=last.is_brdf,
+        )
+
+        conn_total, state2 = _connections(
+            ts, ss, sampler, mid, flux_mid, pdf_mid, c["state"],
+            connection_n, uniform)
+        result = result + jnp.where(hit_surf[..., None],
+                                    conn_total / connection_n, 0.0)
+
+        # RR + bounce
+        v_dir = -d
+        mat = bsdf_mod.gather_mat(ts.mats, geom["mat_id"], geom["base_color"])
+        new_d, state2 = bsdf_mod.sample_bsdf(mat, geom["Ns"], v_dir, state2)
+        bpdf = bsdf_mod.pdf_bsdf(mat, geom["Ns"], v_dir, new_d)
+        f = bsdf_mod.eval_bsdf(mat, geom["Ns"], v_dir, new_d)
+        rr = bsdf_mod.rr_rate(geom["base_color"], MIN_RR_RATE)
+        r, state2 = rng_mod.next_float(state2)
+        cont = hit_surf & (r <= rr) & (bpdf > 0.0)
+
+        depth = c["depth"] + 1
+        terminated = live & (miss | hit_light | (hit_surf & ~cont)
+                             | (depth > max_depth))
+        still = live & ~terminated
+
+        film = c["film"].at[c["pixel"]].add(
+            jnp.where(terminated[..., None], result, 0.0))
+        count = c["count"].at[c["pixel"]].add(jnp.where(terminated, 1, 0))
+
+        want = terminated | ~live
+        rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+        sid = c["next_sample"] + rank
+        take = want & (sid < total)
+        n_taken = jnp.sum(take.astype(jnp.int32))
+        new_pixel = sid % n_pixels
+        new_rep = sid // n_pixels
+        fresh = fresh_lane_state(new_pixel, new_rep)
+
+        keep_v = hit_surf
+
+        def selv(new, old):
+            return jnp.where(
+                keep_v.reshape(keep_v.shape + (1,) * (new.ndim - 1)), new, old)
+
+        def taker(new, old):
+            return jnp.where(
+                take.reshape(take.shape + (1,) * (new.ndim - 1)), new, old)
+
+        v_next = jax.tree_util.tree_map(selv, mid, last)
+        v_next = jax.tree_util.tree_map(taker, fresh["v"], v_next)
+
+        return dict(
+            o=taker(fresh["o"], vec.where3(cont, geom["P"], c["o"])),
+            d=taker(fresh["d"], vec.where3(cont, new_d, c["d"])),
+            state=jnp.where(take, fresh["state"], state2),
+            v=v_next,
+            flux=taker(fresh["flux"], selv(flux_mid, c["flux"])),
+            vpdf=jnp.where(take, 1.0, jnp.where(keep_v, pdf_mid, c["vpdf"])),
+            pending_f=taker(fresh["pending_f"],
+                            vec.where3(cont, f, c["pending_f"])),
+            pending_single=jnp.where(take, 1.0,
+                                     jnp.where(cont, bpdf * rr,
+                                               c["pending_single"])),
+            result=taker(jnp.zeros_like(result),
+                         jnp.where(terminated[..., None],
+                                   jnp.zeros_like(result), result)),
+            depth=jnp.where(take, 0, depth),
+            pixel=jnp.where(take, new_pixel, c["pixel"]),
+            alive=still | take,
+            next_sample=c["next_sample"] + n_taken,
+            film=film,
+            count=count,
+        )
+
+    c = jax.lax.while_loop(cond, body, init_state())
+    return c["film"], c["count"]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "n_pool",
+                                   "max_depth", "connection_n", "uniform"))
+def render_pool_jit(ts, ss, sampler, eye, U, V, W, width, height, spp,
+                    subframe0=0, n_pool=1 << 16, max_depth=16,
+                    connection_n=CONNECTION_N, uniform=False):
+    return render_pool(ts, ss, sampler, (eye, U, V, W), width, height, spp,
+                       subframe0, n_pool, max_depth, connection_n, uniform)
