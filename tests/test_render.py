@@ -107,3 +107,38 @@ def test_spcbpt_trained_state_runs(cornell):
     a = np.asarray(img)
     assert np.isfinite(a).all()
     assert a.mean() > 0.0
+
+
+def test_pt_pool_matches_naive(cornell):
+    """Path-regeneration pool renderer must reproduce the naive wavefront
+    exactly (same seeds, same estimator)."""
+    from spcbpt_tpu.render import pt_pool
+    ts, (eye, U, V, W) = cornell
+    W_, H_, spp = 16, 16, 4
+    acc = jnp.zeros((W_ * H_, 3))
+    for s in range(spp):
+        acc = accumulate(acc, pt.render_frame_jit(ts, eye, U, V, W,
+                                                  W_, H_, s, 6), s)
+    fsum, count = pt_pool.render_pool_jit(ts, eye, U, V, W, W_, H_, spp, 0,
+                                          n_pool=128, max_depth=6)
+    cnt = np.asarray(count)
+    assert (cnt == spp).all()
+    b = np.asarray(fsum) / cnt[:, None]
+    np.testing.assert_allclose(b, np.asarray(acc), atol=1e-4)
+
+
+def test_spcbpt_pool_matches_naive(cornell):
+    from spcbpt_tpu.render import spcbpt_pool
+    ts, (eye, U, V, W) = cornell
+    ss = classify.untrained_state()
+    lv = light_trace.trace_light_paths(ts, ss, 1024, 5, max_depth=5)
+    sampler = lvc.build_sampler(lv)
+    W_ = H_ = 16
+    img = spcbpt.render_frame_jit(ts, ss, sampler, eye, U, V, W, W_, H_, 2,
+                                  max_depth=6, uniform=True)
+    fsum, count = spcbpt_pool.render_pool_jit(
+        ts, ss, sampler, eye, U, V, W, W_, H_, 1, 2, n_pool=64,
+        max_depth=6, uniform=True)
+    cnt = np.asarray(count)
+    assert (cnt == 1).all()
+    np.testing.assert_allclose(np.asarray(fsum), np.asarray(img), atol=1e-4)
