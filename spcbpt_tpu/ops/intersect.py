@@ -77,20 +77,29 @@ def brute_force_closest(origins, dirs, tri_p0, tri_e1, tri_e2,
     o = origins[:, None, :]
     d = dirs[:, None, :]
 
+    tri_ids = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+
     def body(carry, inputs):
+        # gather-free reduction: argmin/take_along_axis lower poorly on TPU,
+        # so reduce with min + tie-break masks instead (pure VPU ops)
         best_t, best_tri, best_u, best_v = carry
         p0, e1, e2, base = inputs
         t, u, v, hit = tri_test(o, d, p0[None], e1[None], e2[None], cull_backface)
         ok = hit & (t > tmin[:, None]) & (t < tmax[:, None]) & (t < best_t[:, None])
         t = jnp.where(ok, t, big)
-        j = jnp.argmin(t, axis=1)
-        tj = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
+        tj = jnp.min(t, axis=1)
+        at_min = t == tj[:, None]
+        # tie-break: smallest triangle id among the minima
+        jid = jnp.min(jnp.where(at_min, tri_ids, chunk), axis=1)
+        pick = at_min & (tri_ids == jid[:, None])
+        uj = jnp.sum(jnp.where(pick, u, 0.0), axis=1)
+        vj = jnp.sum(jnp.where(pick, v, 0.0), axis=1)
         improved = tj < best_t
         sel = lambda new, old: jnp.where(improved, new, old)
         best_t = sel(tj, best_t)
-        best_tri = sel((base + j).astype(jnp.int32), best_tri)
-        best_u = sel(jnp.take_along_axis(u, j[:, None], axis=1)[:, 0], best_u)
-        best_v = sel(jnp.take_along_axis(v, j[:, None], axis=1)[:, 0], best_v)
+        best_tri = sel(base + jid, best_tri)
+        best_u = sel(uj, best_u)
+        best_v = sel(vj, best_v)
         return (best_t, best_tri, best_u, best_v), None
 
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk

@@ -83,13 +83,20 @@ def _closest_kernel(tri_chunks: int, cull_backface: bool,
         hit = det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
             & (t > tmin) & (t < best_t)
         t_m = jnp.where(hit, t, _BIG)
-        amin = jnp.argmin(t_m, axis=1, keepdims=True)
-        tj = jnp.take_along_axis(t_m, amin, axis=1)
+        # gather-free reduction (Mosaic has no in-kernel gather): min + masks
+        tj = jnp.min(t_m, axis=1, keepdims=True)
+        at_min = t_m == tj
+        ids = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1).astype(
+            jnp.float32)
+        jid = jnp.min(jnp.where(at_min, ids, float(n_chunk)), axis=1,
+                      keepdims=True)
+        pick = at_min & (ids == jid)
+        uj = jnp.sum(jnp.where(pick, u, 0.0), axis=1, keepdims=True)
+        vj = jnp.sum(jnp.where(pick, v, 0.0), axis=1, keepdims=True)
         improved = tj < best_t
-        best_tri = jnp.where(improved,
-                             (amin + c * n_chunk).astype(jnp.float32), best_tri)
-        best_u = jnp.where(improved, jnp.take_along_axis(u, amin, axis=1), best_u)
-        best_v = jnp.where(improved, jnp.take_along_axis(v, amin, axis=1), best_v)
+        best_tri = jnp.where(improved, jid + c * n_chunk, best_tri)
+        best_u = jnp.where(improved, uj, best_u)
+        best_v = jnp.where(improved, vj, best_v)
         best_t = jnp.where(improved, tj, best_t)
 
     t_ref[:, 0:1] = best_t

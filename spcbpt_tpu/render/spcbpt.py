@@ -136,7 +136,13 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
             cos_ln = jnp.abs(vec.dot(d, ls_rev.normal))
             pdf_g_l = cos_ln * cos_last * inv_t2
             front = vec.dot(d, ls_rev.normal) <= 0.0
-            flux_l = c["flux"] * (pdf_g_l[..., None] * ls_rev.emission)
+            # depth>=2: cumulative flux folds the pending BSDF factor from the
+            # previous bounce (hit_program.cu:99-106 multiplies MidVertex.flux,
+            # pre-seeded with Eval at the previous hit, into the product)
+            flux_l = jnp.where((last.depth == 0)[..., None],
+                               c["flux"],
+                               c["pending_f"] * c["flux"]) \
+                * (pdf_g_l[..., None] * ls_rev.emission)
             single_l = c["pending_single"] * pdf_g_l / jnp.maximum(cos_last, 1e-20)
             pdf_l = c["vpdf"] * single_l
             direct = c["depth"] == 0  # MidVertex.depth == 1

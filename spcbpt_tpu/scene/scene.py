@@ -88,6 +88,9 @@ class TraceScene:
     num_quad_lights: int = struct.field(pytree_node=False, default=0)
     has_env: bool = struct.field(pytree_node=False, default=False)
     mode: str = struct.field(pytree_node=False, default="brute")
+    # uniform scene-unit scale applied at build (radiance-invariant);
+    # multiply world-space inputs (camera) by this
+    world_scale: float = struct.field(pytree_node=False, default=1.0)
 
     @property
     def num_tris(self) -> int:
@@ -209,8 +212,12 @@ def _quad_light_tris(corner, u, v):
     return tris
 
 
+TARGET_DIAG = 10.0  # normalized scene bbox diagonal (house-like units)
+
+
 def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
-                mode: Optional[str] = None) -> TraceScene:
+                mode: Optional[str] = None,
+                normalize_units: bool = True) -> TraceScene:
     data_dir = data_dir or desc.root_dir
 
     mat_names = list(desc.materials.keys())
@@ -315,6 +322,7 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
         corner = np.asarray(l.position, np.float32)
         uvec = np.asarray(l.u, np.float32)
         vvec = np.asarray(l.v, np.float32)
+        # (scaled below with the rest of the geometry via world_scale)
         lights.corner[i] = corner
         lights.u[i] = uvec
         lights.v[i] = vvec
@@ -340,6 +348,27 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
     if not pos_l:
         raise ValueError("scene has no geometry")
     positions = np.concatenate(pos_l)
+
+    # --- scene-unit normalization ---
+    # BDPT-family estimators carry separate cumulative flux and pdf whose
+    # magnitudes scale like (1/dist^2)^depth; at large scene units (classic
+    # Cornell is 556 wide) the flux*flux product of a connection underflows
+    # f32 near total path depth ~6 and silently drops long-path energy.
+    # Radiance is invariant under uniform geometric scaling, so normalize the
+    # world to a ~TARGET_DIAG bounding diagonal (the reference's scenes are
+    # ~10-20 units, which is the envelope its f32 math was validated in).
+    world_scale = 1.0
+    if normalize_units:
+        lo0 = positions.reshape(-1, 3).min(axis=0)
+        hi0 = positions.reshape(-1, 3).max(axis=0)
+        diag0 = float(np.linalg.norm(hi0 - lo0))
+        if diag0 > 0:
+            world_scale = TARGET_DIAG / diag0
+            positions = positions * world_scale
+            lights.corner[:] = lights.corner * world_scale
+            lights.u[:] = lights.u * world_scale
+            lights.v[:] = lights.v * world_scale
+            lights.area[:] = lights.area * (world_scale * world_scale)
     normals = np.concatenate(n_l)
     uvs = np.concatenate(uv_l)
     mat_ids = np.concatenate(matid_l)
@@ -398,14 +427,18 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
         num_quad_lights=L,
         has_env=has_env,
         mode=mode,
+        world_scale=float(world_scale),
     )
 
 
 def load_trace_scene(scene_path: str, mode: Optional[str] = None):
-    """Parse + assemble in one step; returns (TraceScene, SceneDesc, Camera)."""
+    """Parse + assemble in one step; returns (TraceScene, SceneDesc, Camera).
+    The camera is expressed in the normalized scene units (world_scale)."""
     desc = load_scene(scene_path)
     ts = build_scene(desc, mode=mode)
-    cam = Camera(eye=np.asarray(desc.eye), lookat=np.asarray(desc.lookat),
+    s = ts.world_scale
+    cam = Camera(eye=np.asarray(desc.eye) * s,
+                 lookat=np.asarray(desc.lookat) * s,
                  up=np.asarray(desc.up), fov_y=desc.fov,
                  aspect=desc.width / desc.height)
     return ts, desc, cam

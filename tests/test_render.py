@@ -30,17 +30,18 @@ def test_pt_frame_finite_and_lit(cornell):
 def test_light_trace_physicality(cornell):
     ts, _ = cornell
     ss = classify.untrained_state()
+    area = float(ts.lights.area[0])  # scene-unit-normalized light area
     lv = light_trace.trace_light_paths(ts, ss, 512, 0, max_depth=4)
     v = jax.tree_util.tree_map(np.asarray, lv)
     # depth 0: all valid, flux = emission, pdf = 1/(area*num_lights)
     assert v.valid[0].all()
     np.testing.assert_allclose(v.flux[0], np.tile([18.4, 15.6, 8.0], (512, 1)),
                                rtol=1e-5)
-    np.testing.assert_allclose(v.pdf[0], 1.0 / (130 * 105), rtol=1e-5)
+    np.testing.assert_allclose(v.pdf[0], 1.0 / area, rtol=1e-5)
     # depth 1 RMIS_pointer = 1/light_pdf (rmis.h:22-26)
     d1 = v.valid[1]
     assert d1.sum() > 100
-    np.testing.assert_allclose(v.rmis[1][d1], 130 * 105, rtol=1e-4)
+    np.testing.assert_allclose(v.rmis[1][d1], area, rtol=1e-4)
     # valid counts decay with depth (RR)
     counts = v.valid.sum(axis=1)
     assert (np.diff(counts) <= 0).all()
