@@ -27,6 +27,9 @@ def save_subspace_state(path: str, ss: classify.SubspaceState,
         cmf_gamma=np.asarray(ss.cmf_gamma),
         trained=np.asarray(ss.trained),
     )
+    if ss.alias_prob is not None:
+        arrays["alias_prob"] = np.asarray(ss.alias_prob)
+        arrays["alias_idx"] = np.asarray(ss.alias_idx)
     if film is not None:
         arrays["film_accum"] = np.asarray(film.accum)
         arrays["film_subframe"] = np.asarray(film.subframe)
@@ -43,7 +46,10 @@ def load_subspace_state(path: str) -> classify.SubspaceState:
         centers_pos=jnp.asarray(z["light_centers_pos"]),
         centers_norm=jnp.asarray(z["light_centers_norm"]),
         diag2=jnp.asarray(z["light_diag2"]))
+    alias_prob = jnp.asarray(z["alias_prob"]) if "alias_prob" in z else None
+    alias_idx = jnp.asarray(z["alias_idx"]) if "alias_idx" in z else None
     return classify.SubspaceState(eye=eye, light=light,
                                   q=jnp.asarray(z["q"]),
                                   cmf_gamma=jnp.asarray(z["cmf_gamma"]),
+                                  alias_prob=alias_prob, alias_idx=alias_idx,
                                   trained=bool(z["trained"]))

@@ -69,11 +69,23 @@ def build_sampler(lv: LightVertices) -> LVCSampler:
 
 
 def sample_first_stage(ss: classify.SubspaceState, eye_subspace, state):
-    """Pick a light subspace from the eye subspace's Gamma-CMF row
-    (cuProg.h:290-302). Returns (light_subspace, pmf, state)."""
+    """Pick a light subspace from the eye subspace's Gamma row.
+
+    Uses O(1) alias tables when published (2 gathers instead of the
+    reference's ~10-round CMF binary search, cuProg.h:290-302; identical
+    distribution). Returns (light_subspace, pmf, state)."""
     r, state = rng_mod.next_float(state)
+    row = eye_subspace.astype(jnp.int32)
+    if ss.alias_prob is not None and ss.alias_prob.shape[0] == NUM_SUBSPACE:
+        scaled = r * NUM_SUBSPACE
+        j = jnp.clip(scaled.astype(jnp.int32), 0, NUM_SUBSPACE - 1)
+        frac = scaled - j.astype(jnp.float32)
+        take = frac < ss.alias_prob[row, j]
+        l = jnp.where(take, j, ss.alias_idx[row, j])
+        pmf = classify.gamma_block(ss, row, l)
+        return l.astype(jnp.int32), pmf, state
     flat = ss.cmf_gamma.reshape(-1)
-    base = eye_subspace.astype(jnp.int32) * NUM_SUBSPACE
+    base = row * NUM_SUBSPACE
     size = jnp.full_like(base, NUM_SUBSPACE)
     l = segment_searchsorted(flat, base, size, r, NUM_SUBSPACE)
     pmf = segment_pmf(flat, base, l)

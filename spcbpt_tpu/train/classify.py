@@ -38,6 +38,10 @@ class SubspaceState:
     light: Classifier
     q: jnp.ndarray           # (NUM_SUBSPACE,) per-subspace mean light flux
     cmf_gamma: jnp.ndarray   # (NUM_SUBSPACE, NUM_SUBSPACE) row CMFs
+    # alias tables for O(1) first-stage sampling (TPU-friendly alternative to
+    # the reference's per-thread CMF binary search, cuProg.h:290-302)
+    alias_prob: jnp.ndarray = None   # (NUM_SUBSPACE, NUM_SUBSPACE)
+    alias_idx: jnp.ndarray = None    # (NUM_SUBSPACE, NUM_SUBSPACE) int32
     trained: bool = struct.field(pytree_node=False, default=False)
 
 
@@ -54,7 +58,35 @@ def untrained_state() -> SubspaceState:
                              jnp.cumsum(jnp.full((NUM_SUBSPACE,),
                                                  1.0 / NUM_SUBSPACE)),
                              (NUM_SUBSPACE, NUM_SUBSPACE)),
+                         alias_prob=jnp.ones((1, 1)),
+                         alias_idx=jnp.zeros((1, 1), jnp.int32),
                          trained=False)
+
+
+def build_alias(gamma: np.ndarray):
+    """Row-wise Vose alias tables for the (conservative-mixed) Gamma rows.
+    Returns (prob (S,S) f32, alias (S,S) i32): sample u1 -> column j =
+    floor(u1*S); accept j if frac < prob[row, j] else alias[row, j]."""
+    g = np.asarray(gamma, np.float64)
+    s_rows, n = g.shape
+    g = g / np.maximum(g.sum(axis=1, keepdims=True), 1e-30)
+    prob = np.ones((s_rows, n), np.float32)
+    alias = np.tile(np.arange(n, dtype=np.int32), (s_rows, 1))
+    scaled_all = g * n
+    for r in range(s_rows):
+        scaled = scaled_all[r].copy()
+        small = [i for i in range(n) if scaled[i] < 1.0]
+        large = [i for i in range(n) if scaled[i] >= 1.0]
+        while small and large:
+            s_i = small.pop()
+            l_i = large.pop()
+            prob[r, s_i] = scaled[s_i]
+            alias[r, s_i] = l_i
+            scaled[l_i] = scaled[l_i] - (1.0 - scaled[s_i])
+            (small if scaled[l_i] < 1.0 else large).append(l_i)
+        for i in small + large:
+            prob[r, i] = 1.0
+    return prob, alias
 
 
 def classify(c: Classifier, pos, normal):

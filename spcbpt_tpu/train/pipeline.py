@@ -144,8 +144,14 @@ def preprocess(ts: TraceScene, cam_uvw, width: int, height: int,
     stats.gamma_losses = losses
     stats.seconds["gamma"] = time.time() - t0
 
+    from ..config import CONSERVATIVE_RATE
+    mixed = np.asarray(gamma) * (1.0 - CONSERVATIVE_RATE) \
+        + CONSERVATIVE_RATE / NUM_SUBSPACE
+    aprob, aidx = classify.build_alias(mixed)
     ss = classify.SubspaceState(eye=eye_cls, light=light_cls, q=q,
                                 cmf_gamma=qgamma.gamma_to_cmf(gamma),
+                                alias_prob=jnp.asarray(aprob),
+                                alias_idx=jnp.asarray(aidx),
                                 trained=True)
     stats.seconds["total"] = time.time() - t_all
     return ss, stats

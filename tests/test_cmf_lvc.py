@@ -131,3 +131,43 @@ def test_gamma_cmf_roundtrip():
     expect = (g * (1 - CONSERVATIVE_RATE) + CONSERVATIVE_RATE / NUM_SUBSPACE)[
         np.asarray(eye_id), np.asarray(light_id)]
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-7)
+
+
+def test_alias_sampler_matches_cmf_distribution():
+    """The O(1) alias first-stage sampler must draw from the same
+    (conservative-mixed) Gamma rows as the CMF bisection and report the same
+    pmf values."""
+    import jax
+    from spcbpt_tpu.train import classify, qgamma
+    from spcbpt_tpu.render.lvc import sample_first_stage
+    from spcbpt_tpu.config import NUM_SUBSPACE, CONSERVATIVE_RATE
+
+    rng = np.random.default_rng(7)
+    g = rng.uniform(0, 1, (NUM_SUBSPACE, NUM_SUBSPACE)).astype(np.float32) ** 4
+    g /= g.sum(1, keepdims=True)
+    mixed = g * (1 - CONSERVATIVE_RATE) + CONSERVATIVE_RATE / NUM_SUBSPACE
+    aprob, aidx = classify.build_alias(mixed)
+    base = classify.untrained_state()
+    ss_alias = classify.SubspaceState(
+        eye=base.eye, light=base.light, q=base.q,
+        cmf_gamma=qgamma.gamma_to_cmf(jnp.asarray(g)),
+        alias_prob=jnp.asarray(aprob), alias_idx=jnp.asarray(aidx),
+        trained=True)
+    ss_cmf = ss_alias.replace(alias_prob=jnp.ones((1, 1)),
+                              alias_idx=jnp.zeros((1, 1), jnp.int32))
+
+    n = 200_000
+    state = rng_mod.seed(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(11))
+    eye_row = jnp.full((n,), 3, jnp.int32)
+    l_a, pmf_a, _ = jax.jit(sample_first_stage)(ss_alias, eye_row, state)
+    l_c, pmf_c, _ = jax.jit(sample_first_stage)(ss_cmf, eye_row, state)
+
+    # same target distribution (chi-square-lite on the top columns)
+    top = np.argsort(-mixed[3])[:20]
+    ha = np.bincount(np.asarray(l_a), minlength=NUM_SUBSPACE) / n
+    hc = np.bincount(np.asarray(l_c), minlength=NUM_SUBSPACE) / n
+    np.testing.assert_allclose(ha[top], mixed[3][top], rtol=0.15, atol=2e-4)
+    np.testing.assert_allclose(hc[top], mixed[3][top], rtol=0.15, atol=2e-4)
+    # pmf reported by the alias path equals the mixed Gamma entry
+    np.testing.assert_allclose(np.asarray(pmf_a),
+                               mixed[3][np.asarray(l_a)], rtol=1e-3)
