@@ -44,6 +44,7 @@ def _origin_vertices(ts: TraceScene, ls: lights_mod.LightSample, n: int):
         rmis=jnp.ones((n,)),
         mat_id=ls.light_id,
         subspace_id=ls.subspace_id,
+        eye_label=jnp.zeros((n,), jnp.int32),
         last_zone_id=jnp.zeros((n,), jnp.int32),
         depth=jnp.zeros((n,), jnp.int32),
         is_origin=jnp.ones((n,), bool),
@@ -76,9 +77,7 @@ def _tracing_weight_light(ts: TraceScene, ss: classify.SubspaceState,
                           last: LightVertices, mid_position):
     """rmis::tracing_weight_light (rmis.h:57-79): the connect-rate weight of
     the strategy that connects at `last` (treated as an eye vertex)."""
-    inver_dir = vec.normalize(mid_position - last.position)
-    eye_label = classify.label_eye(ss, last.position, last.normal)
-    w = (classify.gamma_ss(ss, eye_label, last.last_zone_id)
+    w = (classify.gamma_ss(ss, last.eye_label, last.last_zone_id)
          * last.last_lum * CONNECTION_N)
     return jnp.where(last.last_brdf | last.is_brdf, 0.0, w)
 
@@ -143,6 +142,7 @@ def trace_light_paths(ts: TraceScene, ss: classify.SubspaceState,
             last_position=last_position, pdf=pdf, single_pdf=single_pdf,
             last_normal_proj=cos_last, last_lum=last_lum, rmis=rmis,
             mat_id=geom["mat_id"], subspace_id=subspace,
+            eye_label=classify.label_eye(ss, geom["P"], n_mid),
             last_zone_id=last.subspace_id,
             depth=last.depth + 1,
             is_origin=jnp.zeros_like(alive),

@@ -34,6 +34,7 @@ class EyeVertices:
     rmis3: jnp.ndarray           # (..., 3) RMIS_pointer_3
     mat_id: jnp.ndarray
     subspace_id: jnp.ndarray
+    light_label: jnp.ndarray   # light-tree label at this vertex (cached)
     last_zone_id: jnp.ndarray
     depth: jnp.ndarray
     is_ll_direction: jnp.ndarray
@@ -114,17 +115,19 @@ def flux_multiplier_last(ts, v, in_dir):
 
 
 def tracing_weight_light(ts, ss, last, mid_position):
-    """rmis.h:57-79: last treated as eye-side connection point."""
-    eye_label = classify.label_eye(ss, last.position, last.normal)
-    w = connect_rate(ss, eye_label, last.last_zone_id, last.last_lum)
+    """rmis.h:57-79: last treated as eye-side connection point. Uses the
+    eye-tree label cached on the light vertex at trace time (the reference
+    recomputes it per connection, rmis.h:71-74)."""
+    w = connect_rate(ss, last.eye_label, last.last_zone_id, last.last_lum)
     return jnp.where(last.last_brdf | last.is_brdf, 0.0, w)
 
 
 def tracing_weight_eye(ts, ss, last, mid_position, mid_is_dir=None):
     """rmis.h:134-153: last treated as light-side connection point; lum = 1.
-    Depth-1 eye vertices weigh 0 (no t=1 light-tracing strategy)."""
-    light_label = classify.label_light(ss, last.position, last.normal)
-    w = connect_rate(ss, last.last_zone_id, light_label,
+    Depth-1 eye vertices weigh 0 (no t=1 light-tracing strategy). Uses the
+    light-tree label cached on the eye vertex (reference recomputes per
+    connection, rmis.h:148-151)."""
+    w = connect_rate(ss, last.last_zone_id, last.light_label,
                      jnp.ones_like(last.pdf))
     return jnp.where(last.last_brdf | last.is_brdf | (last.depth == 1), 0.0, w)
 

@@ -44,7 +44,7 @@ def _init_eye_vertices(origins, dirs):
         position=origins, normal=dirs, color=jnp.ones((n, 3)),
         last_position=origins, pdf=jnp.ones((n,)), single_pdf=jnp.ones((n,)),
         last_normal_proj=jnp.ones((n,)), rmis3=jnp.zeros((n, 3)),
-        mat_id=zi, subspace_id=zi, last_zone_id=zi, depth=zi,
+        mat_id=zi, subspace_id=zi, light_label=zi, last_zone_id=zi, depth=zi,
         is_ll_direction=zb, is_brdf=zb, last_brdf=zb,
     )
 
@@ -171,6 +171,7 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
                 last_position=last.position, pdf=pdf_mid, single_pdf=single_mid,
                 last_normal_proj=cos_last, rmis3=rmis3,
                 mat_id=geom["mat_id"], subspace_id=sub_mid,
+                light_label=classify.label_light(ss, geom["P"], geom["Ns"]),
                 last_zone_id=last.subspace_id, depth=last.depth + 1,
                 is_ll_direction=jnp.zeros_like(hit_surf),
                 is_brdf=jnp.zeros_like(hit_surf), last_brdf=last.is_brdf,

@@ -133,6 +133,7 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
             last_position=last.position, pdf=pdf_mid, single_pdf=single_mid,
             last_normal_proj=cos_last, rmis3=rmis3,
             mat_id=geom["mat_id"], subspace_id=sub_mid,
+            light_label=classify.label_light(ss, geom["P"], geom["Ns"]),
             last_zone_id=last.subspace_id, depth=last.depth + 1,
             is_ll_direction=jnp.zeros_like(hit_surf),
             is_brdf=jnp.zeros_like(hit_surf), last_brdf=last.is_brdf,

@@ -26,6 +26,10 @@ class LightVertices:
     rmis: jnp.ndarray            # (...,) light-side RMIS_pointer
     mat_id: jnp.ndarray          # (...,) int32
     subspace_id: jnp.ndarray     # (...,) int32
+    eye_label: jnp.ndarray       # (...,) int32 eye-tree label at this vertex
+                                 # (precomputed: rmis tracing_weight_light
+                                 # re-labels light vertices with the EYE tree
+                                 # per connection in the reference, rmis.h:71)
     last_zone_id: jnp.ndarray    # (...,) int32
     depth: jnp.ndarray           # (...,) int32
     is_origin: jnp.ndarray       # (...,) bool — on the light source

@@ -116,11 +116,14 @@ def label_light(ss: SubspaceState, pos, normal):
 
 
 def gamma_block(ss: SubspaceState, eye_id, light_id):
-    """Gamma(eye, light) recovered from the row CMF (optixPathTracer.h:173-180)."""
-    row = ss.cmf_gamma[eye_id]
-    c = jnp.take_along_axis(row, light_id[..., None], axis=-1)[..., 0]
-    prev = jnp.take_along_axis(row, jnp.maximum(light_id - 1, 0)[..., None],
-                               axis=-1)[..., 0]
+    """Gamma(eye, light) recovered from the row CMF (optixPathTracer.h:173-180).
+
+    Flat-index scalar gathers — gathering whole rows then take_along_axis
+    moves N x NUM_SUBSPACE floats through HBM per call."""
+    flat = ss.cmf_gamma.reshape(-1)
+    idx = eye_id.astype(jnp.int32) * NUM_SUBSPACE + light_id.astype(jnp.int32)
+    c = flat[idx]
+    prev = flat[jnp.maximum(idx - 1, 0)]
     return jnp.where(light_id == 0, c, c - prev)
 
 

@@ -69,7 +69,8 @@ def test_lvc_sampler_structure():
         last_position=z3, pdf=jnp.asarray(pdf), single_pdf=jnp.ones(n),
         last_normal_proj=jnp.ones(n), last_lum=jnp.zeros(n),
         rmis=jnp.ones(n), mat_id=jnp.zeros(n, jnp.int32),
-        subspace_id=jnp.asarray(sub), last_zone_id=jnp.zeros(n, jnp.int32),
+        subspace_id=jnp.asarray(sub), eye_label=jnp.zeros(n, jnp.int32),
+        last_zone_id=jnp.zeros(n, jnp.int32),
         depth=jnp.zeros(n, jnp.int32), is_origin=jnp.ones(n, bool),
         is_env=zb, is_ll_direction=zb, is_brdf=zb, last_brdf=zb,
         valid=jnp.asarray(valid))
