@@ -24,8 +24,13 @@ from .envmap import EnvMap, build_envmap, dummy_envmap
 from .parser import SceneDesc, load_scene
 
 TEX_RES = 512
-# triangle-count threshold below which brute-force beats the BVH walk on TPU
-BRUTE_FORCE_MAX_TRIS = 1024
+# Traversal-mode auto-selection thresholds. Measured on v5e: the fused
+# brute-force path scales ~linearly (112 Mrays/s @ 32 tris, 2.6 @ 2048,
+# 0.7 @ 8192) while the XLA while_loop BVH walk is gather-bound and
+# effectively unusable (~0 Mrays/s) — the BVH walk only wins on CPU.
+# Round-2 item: Pallas/node-major BVH. Until then TPU always uses brute.
+BRUTE_FORCE_MAX_TRIS_CPU = 1024
+BRUTE_FORCE_MAX_TRIS_TPU = 1 << 20
 
 
 @struct.dataclass
@@ -403,7 +408,10 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
     order = flat.order
 
     if mode is None:
-        mode = "brute" if len(p0) <= BRUTE_FORCE_MAX_TRIS else "bvh"
+        import jax
+        thresh = (BRUTE_FORCE_MAX_TRIS_CPU if jax.default_backend() == "cpu"
+                  else BRUTE_FORCE_MAX_TRIS_TPU)
+        mode = "brute" if len(p0) <= thresh else "bvh"
 
     def dev(x, dt=jnp.float32):
         return jnp.asarray(x, dt)
