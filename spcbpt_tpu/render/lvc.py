@@ -114,3 +114,18 @@ def sample_uniform(s: LVCSampler, state):
     idx = s.order[j]
     pmf = 1.0 / jnp.maximum(s.vertex_count.astype(jnp.float32), 1.0)
     return idx, pmf, s.vertex_count > 0, state
+
+
+def sample_second_stage_uniform(s: LVCSampler, light_subspace, state):
+    """O(1) second stage: uniform vertex pick WITHIN the chosen subspace
+    (pmf = 1/segment_size). Trades the reference's flux-weighted vertex CMF
+    (cuProg.h:268) for a single gather; the subspace targeting (the main
+    SPCBPT variance win) is unchanged and the pmf stays exact."""
+    r, state = rng_mod.next_float(state)
+    base = s.seg_start[light_subspace]
+    size = s.seg_size[light_subspace]
+    l = jnp.clip((r * size.astype(jnp.float32)).astype(jnp.int32), 0,
+                 jnp.maximum(size - 1, 0))
+    idx = s.order[jnp.clip(base + l, 0, s.order.shape[0] - 1)]
+    pmf = 1.0 / jnp.maximum(size.astype(jnp.float32), 1.0)
+    return idx, pmf, size > 0, state

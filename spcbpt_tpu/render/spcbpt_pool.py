@@ -30,7 +30,7 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
                 sampler: LVCSampler, cam_uvw, width: int, height: int,
                 spp: int, subframe0=0, n_pool: int = 1 << 16,
                 max_depth: int = 16, connection_n: int = CONNECTION_N,
-                uniform: bool = False):
+                uniform: bool = False, second_stage: str = "uniform"):
     """Returns (film_sum (W*H, 3), counts (W*H,))."""
     eye_p, U, V, W = [jnp.asarray(x, jnp.float32) for x in cam_uvw]
     n_pixels = width * height
@@ -141,7 +141,7 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
 
         conn_total, state2 = _connections(
             ts, ss, sampler, mid, flux_mid, pdf_mid, c["state"],
-            connection_n, uniform)
+            connection_n, uniform, second_stage)
         result = result + jnp.where(hit_surf[..., None],
                                     conn_total / connection_n, 0.0)
 
@@ -214,9 +214,12 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "n_pool",
-                                   "max_depth", "connection_n", "uniform"))
+                                   "max_depth", "connection_n", "uniform",
+                                   "second_stage"))
 def render_pool_jit(ts, ss, sampler, eye, U, V, W, width, height, spp,
                     subframe0=0, n_pool=1 << 16, max_depth=16,
-                    connection_n=CONNECTION_N, uniform=False):
+                    connection_n=CONNECTION_N, uniform=False,
+                    second_stage="uniform"):
     return render_pool(ts, ss, sampler, (eye, U, V, W), width, height, spp,
-                       subframe0, n_pool, max_depth, connection_n, uniform)
+                       subframe0, n_pool, max_depth, connection_n, uniform,
+                       second_stage)
