@@ -141,66 +141,73 @@ def pdf_compute(ts, path, strategy_id, k_max: int):
     return pdf
 
 
-def mis_weight_spcbpt(ts, ss: classify.SubspaceState, path, strategy_id,
-                      k_max: int):
-    """cuProg.h:1010-1105: the (unnormalized) SPCBPT weight of a strategy:
-    eye-prefix pdf x light-suffix contribution x connect rate."""
+def suffix_value(ts, path, strategy_id, k_max: int):
+    """The cumulative (flux / pdf) of the light sub-path at the connection
+    vertex path[strategy_id] — the quantity the live SPCBPT pipeline stores on
+    every LVC vertex (BDPTVertex flux/pdf; hit_program.cu:341-438) and feeds
+    to connectRate_SOL at connection time (rmis.h general_connection flux =
+    lightVertex.flux / lightVertex.pdf).
+
+    Closed form for a quad-light start with cosine-hemisphere emission
+    (dir pdf = cos/pi): suffix length 1 gives emission/light_pdf; each added
+    segment multiplies by Eval * cos_toward_eye / (Pdf * rr) at the interior
+    vertex, and the first segment contributes a bare pi (the emission cosine
+    and 1/d^2 terms cancel between flux and pdf)."""
     size = path["size"]
     pos = path["position"]
     lanes = jnp.arange(pos.shape[0])
     s = strategy_id
     light_len = size - s
 
-    # pure-pdf strategies: s<=1 (light tracing; disabled) or s==size (BSDF hit)
-    plain = pdf_compute(ts, path, strategy_id, k_max)
-
-    # eye prefix pdf
-    pdf = jnp.ones(pos.shape[0])
-    for i in range(1, k_max):
-        on = i < s
-        line = pos[:, i] - pos[:, i - 1]
-        d2 = jnp.maximum(vec.dot(line, line), 1e-20)
-        g = jnp.abs(vec.dot(path["normal"][:, i], vec.normalize(line))) / d2
-        pdf = jnp.where(on, pdf * g, pdf)
-    for i in range(1, k_max - 1):
-        on = i < (s - 1)
-        last_dir = vec.normalize(pos[:, i - 1] - pos[:, i])
-        next_dir = vec.normalize(pos[:, i + 1] - pos[:, i])
-        pdf = jnp.where(on, pdf * _pdf(ts, path, i, last_dir, next_dir)
-                        * _rr(path, i), pdf)
-
-    # light suffix contribution
-    contri = jnp.ones((pos.shape[0], 3))
-    contri = jnp.where((light_len > 0)[..., None],
-                       contri * path["light_flux"], contri)
-    last = size - 1
-    last_mid = jnp.maximum(size - s, 0)  # the connection's light-side vertex? (strategy boundary)
-    for i in range(1, k_max):
-        on = i < light_len
-        mi = jnp.maximum(size - i - 1, 0)
-        la = jnp.maximum(size - i, 0)
-        line = pos[lanes, mi] - pos[lanes, la]
-        d2 = jnp.maximum(vec.dot(line, line), 1e-20)
-        ldirn = vec.normalize(line)
-        # note: reference multiplies |cos at mid| AND |cos at the fixed
-        # lastMidPoint (vertex size-2)| each step (cuProg.h:1062-1070)
-        lm = jnp.maximum(size - 2, 0)
-        g = (jnp.abs(vec.dot(path["normal"][lanes, mi], ldirn))
-             * jnp.abs(vec.dot(path["normal"][lanes, lm], ldirn)) / d2)
-        contri = jnp.where(on[..., None], contri * g[..., None], contri)
+    v = path["light_flux"] / jnp.maximum(path["light_pdf"], 1e-30)[..., None]
+    v = jnp.where((light_len >= 2)[..., None], v * jnp.pi, v)
+    # interior light vertices: light depth i = 1 .. light_len-2,
+    # path index k = size-1-i
     for i in range(1, k_max - 1):
         on = i < (light_len - 1)
-        mi = jnp.maximum(size - i - 1, 0)
-        la = jnp.maximum(size - i, 0)
-        ne = jnp.maximum(size - i - 2, 0)
-        last_dir = vec.normalize(pos[lanes, la] - pos[lanes, mi])
-        next_dir = vec.normalize(pos[lanes, ne] - pos[lanes, mi])
+        k = jnp.maximum(size - 1 - i, 0)
+        prev = jnp.maximum(size - i, 0)        # one step closer to the light
+        nxt = jnp.maximum(size - i - 2, 0)     # one step closer to the eye
+        to_prev = vec.normalize(pos[lanes, prev] - pos[lanes, k])
+        to_next = vec.normalize(pos[lanes, nxt] - pos[lanes, k])
+        n = path["normal"][lanes, k]
         mat = bsdf_mod.gather_mat(ts.mats,
-                                  jnp.maximum(path["mat_id"][lanes, mi], 0),
-                                  path["color"][lanes, mi])
-        f = bsdf_mod.eval_bsdf(mat, path["normal"][lanes, mi], last_dir,
-                               next_dir)
-        contri = jnp.where(on[..., None], contri * f, contri)
+                                  jnp.maximum(path["mat_id"][lanes, k], 0),
+                                  path["color"][lanes, k])
+        f = bsdf_mod.eval_bsdf(mat, n, to_prev, to_next)
+        p = bsdf_mod.pdf_bsdf(mat, n, to_prev, to_next)
+        rr = jnp.maximum(jnp.max(path["color"][lanes, k], axis=-1),
+                         MIN_RR_RATE)
+        factor = f * (jnp.abs(vec.dot(n, to_next))
+                      / jnp.maximum(p * rr, 1e-30))[..., None]
+        v = jnp.where(on[..., None], v * factor, v)
+    return v
+
+
+def mis_weight_spcbpt(ts, ss: classify.SubspaceState, path, strategy_id,
+                      k_max: int):
+    """The (unnormalized) SPCBPT balance weight of a strategy, recomputed from
+    the complete path: full-path pdf under strategy s (pdfCompute semantics,
+    cuProg.h:937-1008) times the subspace connect rate with lum = the light
+    vertex's cumulative flux/pdf (connectRate_SOL cuProg.h:70-78, as the live
+    renderer uses it at every connection).
+
+    NOTE: the reference's dead validation variant (MISWeight_SPCBPT
+    cuProg.h:1010-1105, reached only from the unregistered
+    __raygen__SPCBPT_no_rmis) drifted from the live recursion: it weights by
+    the raw suffix *contribution* with a doubled fixed-lastMidPoint cosine
+    (cuProg.h:1062-1070) and drops the suffix pdf. Deriving the closed form
+    of the live rmis.h recursion (each combiner term expands to
+    path_pdf(s) * connectRate(e_s, l_s, flux_s/pdf_s) up to a per-path
+    constant) gives this oracle, which tests/test_rmis_oracle.py validates
+    term-by-term against the cached combiners."""
+    size = path["size"]
+    pos = path["position"]
+    lanes = jnp.arange(pos.shape[0])
+    s = strategy_id
+
+    # full path pdf under this strategy (eye prefix x light prefix)
+    plain = pdf_compute(ts, path, strategy_id, k_max)
 
     # subspace connect rate at the strategy boundary
     ei = jnp.maximum(s - 1, 0)
@@ -213,10 +220,10 @@ def mis_weight_spcbpt(ts, ss: classify.SubspaceState, path, strategy_id,
                                             path["normal"][lanes, li])
     light_label = jnp.where(at_light, path["light_subspace"],
                             light_label_tree)
-    rate = vec.float3weight(
-        connect_rate(ss, eye_label, light_label, jnp.ones_like(pdf))[..., None]
-        * contri)
-    w = pdf * rate
+    lum = vec.float3weight(suffix_value(ts, path, strategy_id, k_max))
+    rate = connect_rate(ss, eye_label, light_label, lum)
+    w = plain * rate
+    # pure-pdf strategies: s<=1 (light tracing; disabled) or s==size (BSDF hit)
     use_plain = (strategy_id <= 1) | (strategy_id == size)
     return jnp.where(use_plain, plain, w)
 

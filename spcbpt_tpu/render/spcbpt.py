@@ -96,8 +96,14 @@ def connect_vertex(ts: TraceScene, ss: classify.SubspaceState,
 def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
                      sampler: LVCSampler, max_depth: int = SUBPATH_MAX_DEPTH,
                      connection_n: int = CONNECTION_N, uniform: bool = False,
-                     second_stage: str = "uniform"):
+                     second_stage: str = "uniform", record: bool = False):
     """Returns f(origins, dirs, rng_state) -> (N, 3) one SPCBPT sample/lane.
+
+    record=True additionally returns the per-depth eye vertices (the scan's
+    `mid` outputs plus extended flux/pdf and a validity mask) so tests can
+    rebuild complete paths and check the cached RMIS weights against the
+    exact full-path oracle (render/oracle.py; reference
+    __raygen__SPCBPT_no_rmis raygen.cu:445-463).
 
     Note: carried 'flux'/'pdf' live on an extended eye vertex; the eye vertex
     struct tracks the cumulative quantities of BDPTVertex."""
@@ -181,11 +187,14 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
             mid_ext_pdf = pdf_mid
 
             # ---- CONNECTION_N probabilistic connections (raygen.cu:390-420) ----
-            conn_total, state2 = _connections(
-                ts, ss, sampler, mid, mid_ext_flux, mid_ext_pdf, c["state"],
-                connection_n, uniform, second_stage)
-            result = result + jnp.where(hit_surf[..., None],
-                                        conn_total / connection_n, 0.0)
+            if connection_n > 0:
+                conn_total, state2 = _connections(
+                    ts, ss, sampler, mid, mid_ext_flux, mid_ext_pdf, c["state"],
+                    connection_n, uniform, second_stage)
+                result = result + jnp.where(hit_surf[..., None],
+                                            conn_total / connection_n, 0.0)
+            else:
+                state2 = c["state"]
 
             # ---- RR + bounce ----
             v_dir = -d
@@ -207,6 +216,10 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
                 return jnp.where(
                     keep.reshape(keep.shape + (1,) * (new.ndim - 1)), new, old)
 
+            y = 0
+            if record:
+                y = dict(v=mid, flux=mid_ext_flux, pdf=mid_ext_pdf,
+                         valid=hit_surf)
             return dict(
                 o=vec.where3(cont, geom["P"], c["o"]),
                 d=vec.where3(cont, new_d, c["d"]),
@@ -219,12 +232,26 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
                 result=result,
                 done=done,
                 depth=depth,
-            ), None
+            ), y
 
-        c, _ = jax.lax.scan(body, carry, None, length=max_depth + 1)
+        c, ys = jax.lax.scan(body, carry, None, length=max_depth + 1)
+        if record:
+            return c["result"], ys
         return c["result"]
 
     return step
+
+
+def trace_eye_paths(ts: TraceScene, ss: classify.SubspaceState,
+                    origins, dirs, state, max_depth: int):
+    """Trace eye sub-paths and return the per-depth EyeVertices records
+    (dict with v: EyeVertices, flux, pdf, valid; leading axis = depth-1).
+    Runs the SAME scan body as the SPCBPT renderer (connections disabled),
+    so cached RMIS state is exactly what the renderer would use."""
+    step = make_spcbpt_step(ts, ss, None, max_depth=max_depth,
+                            connection_n=0, record=True)
+    _, ys = step(origins, dirs, state)
+    return ys
 
 
 def _env_r(ts):
