@@ -1,0 +1,434 @@
+"""Procedural interior scene generator (BASELINE.md configs 4/5 class).
+
+The reference's quality scenes (kitchen/bedroom interiors, readme.md) are not
+redistributable, so we generate a deterministic furnished two-room interior at
+parametric tessellation: room shell with a doorway divider, a table with legs
+and chairs, shelf, smooth-shaded spheres/tori/cylinders (vases, lamps), and a
+wavy curtain grid. Two lighting setups:
+
+- "interior": a bright quad panel in a cove facing the CEILING of the far
+  room plus a small visible ceiling light — most of the near room is lit
+  indirectly (the regime where SPCBPT's subspace-guided connections dominate
+  plain BDPT, per the paper's kitchen/bedroom results).
+- "lit": same geometry with a large visible ceiling light (easier PT ground
+  truth for unbiasedness checks).
+
+Default tessellation yields ~33k triangles — the >=10k-triangle scale the
+traversal benchmark requires (VERDICT round 1).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# tessellated primitives (positions + smooth vertex normals)
+# ---------------------------------------------------------------------------
+
+def _sphere(center, radius, nu, nv):
+    """UV sphere: returns (verts, normals, faces)."""
+    cu = np.linspace(0.0, np.pi, nu + 1)
+    cv = np.linspace(0.0, 2 * np.pi, nv, endpoint=False)
+    theta, phi = np.meshgrid(cu, cv, indexing="ij")
+    n = np.stack([np.sin(theta) * np.cos(phi), np.cos(theta),
+                  np.sin(theta) * np.sin(phi)], axis=-1)
+    v = np.asarray(center) + radius * n
+    verts = v.reshape(-1, 3)
+    norms = n.reshape(-1, 3)
+    faces = []
+    for i in range(nu):
+        for j in range(nv):
+            a = i * nv + j
+            b = i * nv + (j + 1) % nv
+            c = (i + 1) * nv + j
+            d = (i + 1) * nv + (j + 1) % nv
+            if i > 0:
+                faces.append((a, c, b))
+            if i < nu - 1:
+                faces.append((b, c, d))
+    return verts, norms, np.asarray(faces)
+
+
+def _torus(center, r_major, r_minor, nu, nv, axis_tilt=0.0):
+    cu = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    cv = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    a, b = np.meshgrid(cu, cv, indexing="ij")
+    ring = np.stack([np.cos(a), np.zeros_like(a), np.sin(a)], axis=-1)
+    up = np.asarray([0.0, 1.0, 0.0])
+    n = np.cos(b)[..., None] * ring + np.sin(b)[..., None] * up
+    v = np.asarray(center) + r_major * ring + r_minor * n
+    if axis_tilt:
+        ct, st = np.cos(axis_tilt), np.sin(axis_tilt)
+        rot = np.asarray([[1, 0, 0], [0, ct, -st], [0, st, ct]])
+        v = (v - np.asarray(center)) @ rot.T + np.asarray(center)
+        n = n @ rot.T
+    verts = v.reshape(-1, 3)
+    norms = n.reshape(-1, 3)
+    faces = []
+    for i in range(nu):
+        for j in range(nv):
+            a0 = i * nv + j
+            b0 = i * nv + (j + 1) % nv
+            c0 = ((i + 1) % nu) * nv + j
+            d0 = ((i + 1) % nu) * nv + (j + 1) % nv
+            faces.append((a0, c0, b0))
+            faces.append((b0, c0, d0))
+    return verts, norms, np.asarray(faces)
+
+
+def _cylinder(base, height, radius, nv, cap=True):
+    cv = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    ring = np.stack([np.cos(cv), np.zeros(nv), np.sin(cv)], axis=-1)
+    lo = np.asarray(base) + radius * ring
+    hi = lo + np.asarray([0.0, height, 0.0])
+    verts = [lo, hi]
+    norms = [ring, ring]
+    faces = []
+    for j in range(nv):
+        a, b = j, (j + 1) % nv
+        c, d = nv + j, nv + (j + 1) % nv
+        faces.append((a, b, c))
+        faces.append((b, d, c))
+    if cap:
+        top_c = len(np.concatenate(verts))
+        verts.append((np.asarray(base) + [0, height, 0])[None])
+        norms.append(np.asarray([[0.0, 1.0, 0.0]]))
+        for j in range(nv):
+            faces.append((nv + j, nv + (j + 1) % nv, top_c))
+    return np.concatenate(verts), np.concatenate(norms), np.asarray(faces)
+
+
+def _box(lo, hi):
+    """Axis-aligned box with outward geometric normals (6 quads)."""
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    quads = [
+        ([x0, y0, z0], [x1, y0, z0], [x1, y0, z1], [x0, y0, z1], [0, -1, 0]),
+        ([x0, y1, z0], [x0, y1, z1], [x1, y1, z1], [x1, y1, z0], [0, 1, 0]),
+        ([x0, y0, z0], [x0, y1, z0], [x1, y1, z0], [x1, y0, z0], [0, 0, -1]),
+        ([x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1], [0, 0, 1]),
+        ([x0, y0, z0], [x0, y0, z1], [x0, y1, z1], [x0, y1, z0], [-1, 0, 0]),
+        ([x1, y0, z0], [x1, y1, z0], [x1, y1, z1], [x1, y0, z1], [1, 0, 0]),
+    ]
+    verts, norms, faces = [], [], []
+    for a, b, c, d, n in quads:
+        i = len(verts)
+        verts += [a, b, c, d]
+        norms += [n] * 4
+        faces += [(i, i + 1, i + 2), (i, i + 2, i + 3)]
+    return (np.asarray(verts, np.float64), np.asarray(norms, np.float64),
+            np.asarray(faces))
+
+
+def _wavy_grid(corner, du, dv, nu, nv, amp, waves):
+    """Curtain: grid over (du, dv) displaced along du x dv normal by a sine."""
+    corner = np.asarray(corner, np.float64)
+    du = np.asarray(du, np.float64)
+    dv = np.asarray(dv, np.float64)
+    nrm = np.cross(du, dv)
+    nrm /= np.linalg.norm(nrm)
+    uu = np.linspace(0, 1, nu + 1)
+    vv = np.linspace(0, 1, nv + 1)
+    u, v = np.meshgrid(uu, vv, indexing="ij")
+    disp = amp * np.sin(waves * 2 * np.pi * u)
+    pts = (corner + u[..., None] * du + v[..., None] * dv
+           + disp[..., None] * nrm)
+    verts = pts.reshape(-1, 3)
+    # analytic normal of the sine sheet
+    dpu = du + (amp * waves * 2 * np.pi * np.cos(waves * 2 * np.pi * u))[..., None] * nrm
+    dpv = np.broadcast_to(dv, dpu.shape)
+    n = np.cross(dpu, dpv)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+    norms = n.reshape(-1, 3)
+    faces = []
+    for i in range(nu):
+        for j in range(nv):
+            a = i * (nv + 1) + j
+            b = a + 1
+            c = a + (nv + 1)
+            d = c + 1
+            faces.append((a, c, b))
+            faces.append((b, c, d))
+    return verts, norms, np.asarray(faces)
+
+
+def _write_obj(path, parts):
+    """parts: list of (verts, norms, faces). Writes v//vn faces."""
+    lines = []
+    base = 0
+    chunks = []
+    for verts, norms, faces in parts:
+        for p in verts:
+            lines.append(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}")
+        for n in norms:
+            lines.append(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}")
+        chunks.append((base, faces))
+        base += len(verts)
+    nbase = 0
+    out_faces = []
+    for (vb, faces), (verts, norms, _) in zip(chunks, parts):
+        for f in faces:
+            a, b, c = (int(x) + vb + 1 for x in f)
+            an, bn, cn = (int(x) + nbase + 1 for x in f)
+            out_faces.append(f"f {a}//{an} {b}//{bn} {c}//{cn}")
+        nbase += len(norms)
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines + out_faces) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# the scene
+# ---------------------------------------------------------------------------
+
+# room: x in [0, 20], y in [0, 6], z in [0, 14]; divider at z = 8 with a
+# doorway gap x in [8, 12]
+_RX, _RY, _RZ, _DZ = 20.0, 6.0, 14.0, 8.0
+
+
+def _room_shell():
+    """Inward-facing walls as thin boxes would double geometry; emit single
+    quads with inward normals instead (like the cornell generator)."""
+    X, Y, Z = _RX, _RY, _RZ
+    quads = {
+        "floor": ([0, 0, 0], [0, 0, Z], [X, 0, Z], [X, 0, 0]),
+        "ceiling": ([0, Y, 0], [X, Y, 0], [X, Y, Z], [0, Y, Z]),
+        "back": ([0, 0, Z], [0, Y, Z], [X, Y, Z], [X, 0, Z]),
+        "front": ([0, 0, 0], [X, 0, 0], [X, Y, 0], [0, Y, 0]),
+        "left": ([0, 0, 0], [0, Y, 0], [0, Y, Z], [0, 0, Z]),
+        "right": ([X, 0, 0], [X, 0, Z], [X, Y, Z], [X, Y, 0]),
+    }
+    parts = []
+    for a, b, c, d in quads.values():
+        v = np.asarray([a, b, c, d], np.float64)
+        e1 = v[1] - v[0]
+        e2 = v[3] - v[0]
+        n = np.cross(e1, e2)
+        n = n / np.linalg.norm(n)
+        parts.append((v, np.tile(n, (4, 1)),
+                      np.asarray([(0, 1, 2), (0, 2, 3)])))
+    return parts
+
+
+def _divider():
+    """Wall at z=_DZ with a doorway gap x in [8,12], y in [0,4.5]."""
+    t = 0.2
+    parts = []
+    parts.append(_box([0, 0, _DZ - t], [8, _RY, _DZ + t]))
+    parts.append(_box([12, 0, _DZ - t], [_RX, _RY, _DZ + t]))
+    parts.append(_box([8, 4.5, _DZ - t], [12, _RY, _DZ + t]))
+    return parts
+
+
+def _furniture(scale: int):
+    """Named material groups of tessellated parts."""
+    s = scale
+    wood, ornament, lamp, bed, curtain, cove = [], [], [], [], [], []
+    # table (near room)
+    wood.append(_box([3.0, 1.6, 2.5], [8.0, 1.9, 5.5]))
+    for lx in (3.2, 7.5):
+        for lz in (2.7, 5.2):
+            wood.append(_box([lx, 0, lz], [lx + 0.3, 1.6, lz + 0.3]))
+    # chairs
+    for cx in (4.0, 6.2):
+        wood.append(_box([cx, 0.9, 5.8], [cx + 1.0, 1.1, 6.8]))
+        wood.append(_box([cx, 1.1, 6.6], [cx + 1.0, 2.4, 6.8]))
+        for lx in (0.05, 0.8):
+            for lz in (0.05, 0.8):
+                wood.append(_box([cx + lx, 0, 5.8 + lz],
+                                 [cx + lx + 0.15, 0.9, 5.95 + lz]))
+    # shelf on the right wall (near room)
+    wood.append(_box([18.6, 0, 1.0], [19.9, 4.0, 5.0]))
+    for y in (1.0, 2.0, 3.0):
+        wood.append(_box([18.4, y, 1.0], [18.6, y + 0.1, 5.0]))
+    # vases and ornaments (smooth spheres/tori on the table and shelf)
+    ornament.append(_sphere([4.2, 2.45, 3.4], 0.55, 8 * s, 16 * s))
+    ornament.append(_sphere([6.6, 2.25, 4.6], 0.35, 6 * s, 12 * s))
+    ornament.append(_sphere([19.1, 4.45, 2.0], 0.45, 6 * s, 12 * s))
+    ornament.append(_torus([5.6, 2.05, 3.0], 0.45, 0.16, 12 * s, 8 * s,
+                           axis_tilt=0.5))
+    # floor lamp with a big smooth shade (far room, over the cove light)
+    lamp.append(_cylinder([16.0, 0, 11.0], 3.2, 0.12, 8 * s))
+    lamp.append(_sphere([16.0, 3.6, 11.0], 0.8, 8 * s, 16 * s))
+    # bed-like platform (far room)
+    bed.append(_box([1.0, 0, 9.5], [7.0, 0.9, 13.5]))
+    bed.append(_box([1.0, 0.9, 9.7], [6.6, 1.25, 13.3]))
+    bed.append(_box([1.0, 0.9, 9.5], [1.4, 2.4, 13.5]))
+    # pillows
+    bed.append(_sphere([2.2, 1.55, 10.6], 0.5, 6 * s, 12 * s))
+    bed.append(_sphere([2.2, 1.55, 12.3], 0.5, 6 * s, 12 * s))
+    # curtain along the back wall
+    curtain.append(_wavy_grid([9.0, 0.2, 13.7], [8.0, 0, 0], [0, 5.2, 0],
+                              24 * s, 16 * s, 0.25, 6))
+    # cove: a knee wall hiding the main light panel (far room, lights the
+    # ceiling only -> the near room sees purely indirect light)
+    cove.append(_box([13.0, 0, 9.0], [13.3, 2.6, 13.0]))
+    return dict(wood=wood, ornament=ornament, lamp=lamp, bed=bed,
+                curtain=curtain, cove=cove)
+
+
+def generate(root: str, scale: int = 4, mode: str = "interior") -> str:
+    """Write scene files under root/interior_{mode}; returns the .scene path.
+    scale=4 (default) -> ~33k triangles; scale=2 -> ~8k."""
+    name = f"interior_{mode}"
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+
+    groups = dict(walls=_room_shell() + _divider(), **_furniture(scale))
+    for g, parts in groups.items():
+        _write_obj(os.path.join(d, f"{g}.obj"), parts)
+
+    if mode == "interior":
+        # main panel inside the cove, facing UP (indirect-dominant), plus a
+        # small visible ceiling light in the near room so PT is not hopeless
+        lights = """
+light
+{
+    position 13.45 2.2 9.2
+    v1 13.45 2.2 12.8
+    v2 14.6 2.2 9.2
+    emission 120 110 90
+    type Quad
+    divLevel 8
+}
+
+light
+{
+    position 9.2 5.98 2.6
+    v1 10.8 5.98 2.6
+    v2 9.2 5.98 3.4
+    emission 6 5.6 5
+    type Quad
+    divLevel 4
+}
+"""
+    else:
+        lights = """
+light
+{
+    position 7.0 5.98 4.0
+    v1 13.0 5.98 4.0
+    v2 7.0 5.98 10.0
+    emission 10 9.2 7.5
+    type Quad
+    divLevel 8
+}
+"""
+
+    scene = f"""
+properties
+{{
+    width 1024
+    height 1024
+}}
+
+cameraSetting
+{{
+    eye 10.0 2.8 0.6
+    lookat 10.0 2.6 6.0
+    up 0 1 0
+    fov 55
+    geo_normal 0
+}}
+
+material Wall
+{{
+    color 0.72 0.70 0.66
+    roughness 0.6
+    metallic 0.0
+}}
+
+material Wood
+{{
+    color 0.42 0.26 0.14
+    roughness 0.35
+    metallic 0.0
+}}
+
+material Ornament
+{{
+    color 0.85 0.3 0.2
+    roughness 0.12
+    metallic 0.6
+}}
+
+material LampMetal
+{{
+    color 0.9 0.9 0.92
+    roughness 0.08
+    metallic 1.0
+}}
+
+material BedCloth
+{{
+    color 0.25 0.35 0.6
+    roughness 0.7
+    metallic 0.0
+}}
+
+material Curtain
+{{
+    color 0.75 0.72 0.45
+    roughness 0.5
+    metallic 0.0
+}}
+{lights}
+mesh
+{{
+    file {name}/walls.obj
+    material Wall
+}}
+
+mesh
+{{
+    file {name}/wood.obj
+    material Wood
+}}
+
+mesh
+{{
+    file {name}/ornament.obj
+    material Ornament
+}}
+
+mesh
+{{
+    file {name}/lamp.obj
+    material LampMetal
+}}
+
+mesh
+{{
+    file {name}/bed.obj
+    material BedCloth
+}}
+
+mesh
+{{
+    file {name}/curtain.obj
+    material Curtain
+}}
+
+mesh
+{{
+    file {name}/cove.obj
+    material Wall
+}}
+"""
+    path = os.path.join(d, f"{name}.scene")
+    with open(path, "w") as f:
+        f.write(scene)
+    return path
+
+
+def default_scene_path(repo_root: str = None, mode: str = "interior",
+                       scale: int = 4) -> str:
+    if repo_root is None:
+        repo_root = os.path.join(os.path.dirname(__file__), "..", "..")
+    root = os.path.abspath(os.path.join(repo_root, "scenes"))
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"interior_{mode}", f"interior_{mode}.scene")
+    if not os.path.exists(path):
+        return generate(root, scale=scale, mode=mode)
+    return path

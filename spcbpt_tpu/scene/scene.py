@@ -17,7 +17,8 @@ from flax import struct
 
 from ..config import NUM_SUBSPACE_LIGHTSOURCE
 from ..ops import bvh as bvh_mod
-from ..ops import intersect, traverse
+from ..ops import clusters as clusters_mod
+from ..ops import intersect, tile_trace, traverse
 from . import obj as obj_mod
 from .camera import Camera
 from .envmap import EnvMap, build_envmap, dummy_envmap
@@ -28,9 +29,11 @@ TEX_RES = 512
 # brute-force path scales ~linearly (112 Mrays/s @ 32 tris, 2.6 @ 2048,
 # 0.7 @ 8192) while the XLA while_loop BVH walk is gather-bound and
 # effectively unusable (~0 Mrays/s) — the BVH walk only wins on CPU.
-# Round-2 item: Pallas/node-major BVH. Until then TPU always uses brute.
+# At scene scale, TPU uses the tiled two-level cluster traversal with MXU
+# triangle intersection (ops/tile_trace.py).
 BRUTE_FORCE_MAX_TRIS_CPU = 1024
-BRUTE_FORCE_MAX_TRIS_TPU = 1 << 20
+BRUTE_FORCE_MAX_TRIS_TPU = 512
+CLUSTER_TRI_K = 64
 
 
 @struct.dataclass
@@ -88,6 +91,8 @@ class TraceScene:
     bvh_skip: jnp.ndarray
     bvh_leaf_start: jnp.ndarray
     bvh_leaf_count: jnp.ndarray
+    # two-level cluster traversal (mode "tile"; None otherwise)
+    clusters: Optional[clusters_mod.ClusterSet] = None
     # static metadata
     num_lights: int = struct.field(pytree_node=False, default=0)  # quads + env
     num_quad_lights: int = struct.field(pytree_node=False, default=0)
@@ -114,6 +119,9 @@ def trace_closest(ts: TraceScene, origins, dirs, tmin, tmax,
         return intersect.brute_force_closest(
             origins, dirs, ts.tri_p0, ts.tri_e1, ts.tri_e2, tmin, tmax,
             cull_backface, chunk=min(512, max(8, ts.num_tris)))
+    if ts.mode == "tile":
+        return tile_trace.tile_closest(ts.clusters, origins, dirs, tmin, tmax,
+                                       cull_backface)
     return traverse.bvh_closest(
         origins, dirs, tmin, tmax,
         ts.bvh_min, ts.bvh_max, ts.bvh_skip, ts.bvh_leaf_start,
@@ -127,6 +135,8 @@ def trace_any(ts: TraceScene, origins, dirs, tmin, tmax):
         return intersect.brute_force_any(
             origins, dirs, ts.tri_p0, ts.tri_e1, ts.tri_e2, tmin, tmax,
             chunk=min(512, max(8, ts.num_tris)))
+    if ts.mode == "tile":
+        return tile_trace.tile_any(ts.clusters, origins, dirs, tmin, tmax)
     return traverse.bvh_any(
         origins, dirs, tmin, tmax,
         ts.bvh_min, ts.bvh_max, ts.bvh_skip, ts.bvh_leaf_start,
@@ -409,9 +419,15 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
 
     if mode is None:
         import jax
-        thresh = (BRUTE_FORCE_MAX_TRIS_CPU if jax.default_backend() == "cpu"
-                  else BRUTE_FORCE_MAX_TRIS_TPU)
-        mode = "brute" if len(p0) <= thresh else "bvh"
+        if jax.default_backend() == "cpu":
+            mode = "brute" if len(p0) <= BRUTE_FORCE_MAX_TRIS_CPU else "bvh"
+        else:
+            mode = "brute" if len(p0) <= BRUTE_FORCE_MAX_TRIS_TPU else "tile"
+
+    cset = None
+    if mode == "tile":
+        cset = clusters_mod.build_clusters(flat, p0[order], e1[order],
+                                           e2[order], max_tris=CLUSTER_TRI_K)
 
     def dev(x, dt=jnp.float32):
         return jnp.asarray(x, dt)
@@ -431,6 +447,7 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
         bvh_skip=dev(flat.skip, jnp.int32),
         bvh_leaf_start=dev(flat.leaf_start, jnp.int32),
         bvh_leaf_count=dev(flat.leaf_count, jnp.int32),
+        clusters=cset,
         num_lights=L + (1 if has_env else 0),
         num_quad_lights=L,
         has_env=has_env,
