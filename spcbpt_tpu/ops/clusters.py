@@ -37,6 +37,10 @@ class ClusterSet:
     cmin: jnp.ndarray      # (C, 3) cluster AABB min
     cmax: jnp.ndarray      # (C, 3)
     coeff: jnp.ndarray     # (C, 16, 4*K) triangle coefficient blocks
+    tri_block: jnp.ndarray  # (C, 16, 128) raw [p0, e1, e2] rows 0..8 per
+                            # cluster slot, zero-padded to the f32 VMEM tile
+                            # (16, 128) so Pallas kernels can DMA-slice it —
+                            # direct VPU Moller-Trumbore input (8KB/cluster)
     tri_begin: jnp.ndarray  # (C,) int32 first (reordered) triangle id
     # reordered triangle geometry for the exact post-loop winner test
     tri_p0: jnp.ndarray    # (T, 3)
@@ -114,6 +118,8 @@ def build_clusters(flat: FlatBVH, p0: np.ndarray, e1: np.ndarray,
     c = len(cl)
     k = max_tris
     coeff = np.zeros((c, k, FEAT_DIM, N_OUT), np.float32)
+    assert k <= 128, "cluster K above the 128-lane tile is unsupported"
+    tri_block = np.zeros((c, 16, 128), np.float32)
     cmin = np.zeros((c, 3), np.float32)
     cmax = np.zeros((c, 3), np.float32)
     begin = np.zeros((c,), np.int32)
@@ -123,13 +129,17 @@ def build_clusters(flat: FlatBVH, p0: np.ndarray, e1: np.ndarray,
     for ci, (lo, hi, node) in enumerate(cl):
         coeff[ci, :hi - lo] = pack_coefficients(p0[lo:hi], e1[lo:hi],
                                                 e2[lo:hi])
+        raw = np.concatenate([p0[lo:hi], e1[lo:hi], e2[lo:hi]], axis=1)
+        tri_block[ci, :9, :hi - lo] = raw.T
         cmin[ci] = flat.bounds_min[node]
         cmax[ci] = flat.bounds_max[node]
         begin[ci] = lo
     # (C, K, 16, 4) -> (C, 16, 4K): outputs grouped by kind then triangle slot
     coeff = coeff.transpose(0, 2, 3, 1).reshape(c, FEAT_DIM, N_OUT * k)
     return ClusterSet(cmin=jnp.asarray(cmin), cmax=jnp.asarray(cmax),
-                      coeff=jnp.asarray(coeff), tri_begin=jnp.asarray(begin),
+                      coeff=jnp.asarray(coeff),
+                      tri_block=jnp.asarray(tri_block),
+                      tri_begin=jnp.asarray(begin),
                       tri_p0=jnp.asarray(p0, jnp.float32),
                       tri_e1=jnp.asarray(e1, jnp.float32),
                       tri_e2=jnp.asarray(e2, jnp.float32),

@@ -26,6 +26,11 @@ cuProg.h:434 over the GAS built by sutil/Scene.cpp:943). TPU-native shape:
    triangle id; barycentrics are reconstructed post-loop with one exact
    Moller-Trumbore test against the winning triangle.
 
+Matmul precision defaults to HIGHEST (6-pass bf16 = full f32): at HIGH
+(3-pass), ~0.005% of rays at grazing triangle edges take a wrong surface
+with O(1-unit) t error (measured on the interior scene); the throughput
+cost of exactness is ~5%.
+
 Correctness oracle: ops/intersect.brute_force_* (tests/test_tile_trace.py).
 """
 from __future__ import annotations
@@ -140,10 +145,12 @@ def _prepare(cs, origins, dirs, tmin, tmax, tile):
     count = jnp.sum(entries < _BIG, axis=1)
     order = jnp.argsort(-count)
     inv_order = jnp.argsort(order)
+    o_t = origins.reshape(nt, tile, 3)[order]
+    d_t = dirs.reshape(nt, tile, 3)[order]
     # transpose to (C, NT): each round slices a contiguous row (a dynamic
     # slice on the lane axis of (NT, C) forces a strided pass per round)
     return (entries_s[order].T, ids_s[order].T, feats[order], tmin_t[order],
-            tmax_t[order], inv_order, nt)
+            tmax_t[order], o_t, d_t, inv_order, nt)
 
 
 def _bucket_sizes(nt: int):
@@ -163,6 +170,15 @@ def _split_mt(outs, k):
     return outs[:, :, 0], outs[:, :, 1], outs[:, :, 2], outs[:, :, 3]
 
 
+def _min_by_t(a, b):
+    """Variadic reduce combiner: min t wins, ties broken by smaller slot."""
+    at, au, av, ad, as_ = a
+    bt, bu, bv, bd, bs = b
+    take_a = (at < bt) | ((at == bt) & (as_ <= bs))
+    sel = lambda x, y: jnp.where(take_a, x, y)
+    return sel(at, bt), sel(au, bu), sel(av, bv), sel(ad, bd), sel(as_, bs)
+
+
 def _hit_t(u_num, v_num, t_num, det, tmin, tmax, cull_backface):
     """Per-(lane, slot) hit test; returns t where hit else _BIG."""
     if cull_backface:
@@ -177,6 +193,50 @@ def _hit_t(u_num, v_num, t_num, det, tmin, tmax, cull_backface):
     hit = det_ok & (s_u >= 0.0) & (s_v >= 0.0) & (s_u + s_v <= s_det) \
         & (t > tmin[..., None]) & (t < tmax[..., None])
     return jnp.where(hit, t, _BIG)
+
+
+def _closest_loop_kernel(cs, entries_s, ids_s, o_t, d_t, tmin_t, tmax_t,
+                         cull_backface):
+    """Near-to-far cluster walk with the fused Pallas round kernel
+    (ops/pallas_tile.mt_round): the per-round (R, K) intersection
+    intermediates and their epilogue never touch HBM."""
+    from . import pallas_tile
+
+    nt = o_t.shape[0]
+    tile = o_t.shape[1]
+    n_cols = entries_s.shape[0]
+
+    def cond(state):
+        *_, alive, r = state
+        return jnp.any(alive)
+
+    def body(state):
+        best_t, best_id, best_u, best_v, alive, r = state
+        rc = jnp.minimum(r, n_cols - 1)
+        e = jax.lax.dynamic_slice_in_dim(entries_s, rc, 1, axis=0)[0]
+        c = jax.lax.dynamic_slice_in_dim(ids_s, rc, 1, axis=0)[0]
+        t_bound = jnp.max(jnp.minimum(best_t, tmax_t), axis=1)
+        run = alive & (e < _BIG) & (e <= t_bound) & (r < n_cols)
+
+        block = jnp.take(cs.tri_block, jnp.where(run, c, 0), axis=0)
+        t_min, u_p, v_p, _, s_pick = pallas_tile.mt_round(
+            o_t, d_t, block, tmin_t, jnp.minimum(best_t, tmax_t),
+            cull_backface)
+        improved = (t_min < best_t) & run[:, None]
+        tri = jnp.take(cs.tri_begin, c)[:, None] + s_pick
+        best_id = jnp.where(improved, tri, best_id)
+        best_u = jnp.where(improved, u_p, best_u)
+        best_v = jnp.where(improved, v_p, best_v)
+        best_t = jnp.where(improved, t_min, best_t)
+        return best_t, best_id, best_u, best_v, alive & run, r + 1
+
+    state = (jnp.full((nt, tile), _BIG),
+             jnp.full((nt, tile), -1, jnp.int32),
+             jnp.zeros((nt, tile)), jnp.zeros((nt, tile)),
+             jnp.ones((nt,), bool), jnp.int32(0))
+    best_t, best_id, best_u, best_v, *_ = jax.lax.while_loop(
+        cond, body, state)
+    return best_t, best_id, best_u, best_v
 
 
 def _closest_loop(cs, entries_s, ids_s, feats, tmin_t, tmax_t, cull_backface,
@@ -207,15 +267,15 @@ def _closest_loop(cs, entries_s, ids_s, feats, tmin_t, tmax_t, cull_backface,
         tt = _hit_t(u_num, v_num, t_num, det, tmin_t,
                     jnp.minimum(best_t, tmax_t), cull_backface)
         tt = jnp.where(run[:, None, None], tt, _BIG)
-        t_min = jnp.min(tt, axis=2)
+        # single-pass min-by-t reduce carrying the winner's payload (one read
+        # of the matmul output instead of separate min + 4 pick passes)
+        slot_b = jnp.broadcast_to(slot, tt.shape)
+        t_min, u_np, v_np, d_np, s_pick = jax.lax.reduce(
+            (tt, u_num, v_num, det, slot_b),
+            (jnp.float32(_BIG), jnp.float32(0), jnp.float32(0),
+             jnp.float32(1), jnp.int32(k)),
+            _min_by_t, (2,))
         improved = t_min < best_t
-        at_min = tt == t_min[..., None]
-        s_pick = jnp.min(jnp.where(at_min, slot, k), axis=2)
-        pick = at_min & (slot == s_pick[..., None])
-        # barycentric numerators of the winner; one divide per lane at the end
-        u_np = jnp.sum(jnp.where(pick, u_num, 0.0), axis=2)
-        v_np = jnp.sum(jnp.where(pick, v_num, 0.0), axis=2)
-        d_np = jnp.sum(jnp.where(pick, det, 0.0), axis=2)
         tri = jnp.take(cs.tri_begin, c)[:, None] + s_pick
         best_id = jnp.where(improved, tri, best_id)
         best_un = jnp.where(improved, u_np, best_un)
@@ -235,25 +295,38 @@ def _closest_loop(cs, entries_s, ids_s, feats, tmin_t, tmax_t, cull_backface,
     return best_t, best_id, best_un * inv, best_vn * inv
 
 
-@partial(jax.jit, static_argnames=("tile", "cull_backface", "precision"))
+def use_round_kernel() -> bool:
+    """The fused Pallas round kernel needs a Mosaic-capable backend."""
+    import jax as _jax
+    return _jax.default_backend() not in ("cpu",)
+
+
+@partial(jax.jit,
+         static_argnames=("tile", "cull_backface", "precision", "use_kernel"))
 def tile_closest(cs: ClusterSet, origins, dirs, tmin, tmax,
                  cull_backface: bool = True, tile: int = 64,
-                 precision=jax.lax.Precision.HIGH) -> Hit:
+                 precision=jax.lax.Precision.HIGHEST,
+                 use_kernel: bool = False) -> Hit:
     """Closest-hit traversal. Returns Hit with t=_BIG / tri=-1 on miss."""
     origins, dirs, tmin, tmax, n_orig, pad = _pad_rays(
         origins, dirs, tmin, tmax, tile)
     n = origins.shape[0]
 
-    entries_s, ids_s, feats, tmin_t, tmax_t, inv_order, nt = _prepare(
-        cs, origins, dirs, tmin, tmax, tile)
+    entries_s, ids_s, feats, tmin_t, tmax_t, o_t, d_t, inv_order, nt = \
+        _prepare(cs, origins, dirs, tmin, tmax, tile)
 
     parts = []
     pos = 0
     for sz in _bucket_sizes(nt):
         sl = slice(pos, pos + sz)
-        parts.append(_closest_loop(cs, entries_s[:, sl], ids_s[:, sl],
-                                   feats[sl], tmin_t[sl], tmax_t[sl],
-                                   cull_backface, precision))
+        if use_kernel:
+            parts.append(_closest_loop_kernel(
+                cs, entries_s[:, sl], ids_s[:, sl], o_t[sl], d_t[sl],
+                tmin_t[sl], tmax_t[sl], cull_backface))
+        else:
+            parts.append(_closest_loop(cs, entries_s[:, sl], ids_s[:, sl],
+                                       feats[sl], tmin_t[sl], tmax_t[sl],
+                                       cull_backface, precision))
         pos += sz
     out = [jnp.concatenate([p[i] for p in parts])[inv_order].reshape(n)[:n_orig]
            for i in range(4)]
@@ -296,15 +369,15 @@ def _any_loop(cs, entries_s, ids_s, feats, tmin_t, tmax_t, precision):
 
 @partial(jax.jit, static_argnames=("tile", "precision"))
 def tile_any(cs: ClusterSet, origins, dirs, tmin, tmax, tile: int = 64,
-             precision=jax.lax.Precision.HIGH):
+             precision=jax.lax.Precision.HIGHEST):
     """Any-hit (occlusion) traversal: True where some triangle blocks
     [tmin, tmax]. No back-face culling (reference cuProg.h:478)."""
     origins, dirs, tmin, tmax, n_orig, pad = _pad_rays(
         origins, dirs, tmin, tmax, tile)
     n = origins.shape[0]
 
-    entries_s, ids_s, feats, tmin_t, tmax_t, inv_order, nt = _prepare(
-        cs, origins, dirs, tmin, tmax, tile)
+    entries_s, ids_s, feats, tmin_t, tmax_t, o_t, d_t, inv_order, nt = \
+        _prepare(cs, origins, dirs, tmin, tmax, tile)
 
     parts = []
     pos = 0

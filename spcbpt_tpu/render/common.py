@@ -6,11 +6,17 @@ import jax.numpy as jnp
 from ..utils import rng as rng_mod
 
 
-def camera_rays(eye, U, V, W, width: int, height: int, subframe: int | jnp.ndarray):
+def camera_rays(eye, U, V, W, width: int, height: int,
+                subframe: int | jnp.ndarray, block: int = 0):
     """Generate one primary ray per pixel (reference raygen.cu:100-113):
     lane i = pixel (x=i%W, y=i//W); subframe 0 uses the pixel center, later
     subframes jitter. Returns (origins, dirs, rng_state) with N = W*H lanes.
-    Row 0 is the image bottom (d.y = -1)."""
+    Row 0 is the image bottom (d.y = -1).
+
+    block > 0 emits lanes in block x block pixel tiles (arithmetic lane ->
+    pixel decode, no gathers) so consecutive lane groups are spatially
+    coherent — the layout the tiled traversal wants
+    (ops/tile_trace.block_order gives the equivalent permutation)."""
     n = width * height
     lane = jnp.arange(n, dtype=jnp.uint32)
     state = rng_mod.seed(lane, jnp.asarray(subframe, jnp.uint32))
@@ -19,8 +25,15 @@ def camera_rays(eye, U, V, W, width: int, height: int, subframe: int | jnp.ndarr
     first = jnp.asarray(subframe, jnp.int32) == 0
     jx = jnp.where(first, 0.5, jx)
     jy = jnp.where(first, 0.5, jy)
-    x = (lane % width).astype(jnp.float32)
-    y = (lane // width).astype(jnp.float32)
+    if block:
+        bw = width // block
+        bid = lane // (block * block)
+        within = lane % (block * block)
+        x = ((bid % bw) * block + within % block).astype(jnp.float32)
+        y = ((bid // bw) * block + within // block).astype(jnp.float32)
+    else:
+        x = (lane % width).astype(jnp.float32)
+        y = (lane // width).astype(jnp.float32)
     dx = 2.0 * (x + jx) / width - 1.0
     dy = 2.0 * (y + jy) / height - 1.0
     eye = jnp.asarray(eye, jnp.float32)

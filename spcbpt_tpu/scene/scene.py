@@ -29,11 +29,13 @@ TEX_RES = 512
 # brute-force path scales ~linearly (112 Mrays/s @ 32 tris, 2.6 @ 2048,
 # 0.7 @ 8192) while the XLA while_loop BVH walk is gather-bound and
 # effectively unusable (~0 Mrays/s) — the BVH walk only wins on CPU.
-# At scene scale, TPU uses the tiled two-level cluster traversal with MXU
-# triangle intersection (ops/tile_trace.py).
+# At scene scale, TPU uses the tiled two-level cluster traversal
+# (ops/tile_trace.py): 57-83 Mrays/s at 1024x1024 camera rays over the
+# 32.5k-tri interior scene depending on tile size (K=32 sweep, v5e).
 BRUTE_FORCE_MAX_TRIS_CPU = 1024
 BRUTE_FORCE_MAX_TRIS_TPU = 512
-CLUSTER_TRI_K = 64
+CLUSTER_TRI_K = 32
+TILE_LANES = 256
 
 
 @struct.dataclass
@@ -121,7 +123,7 @@ def trace_closest(ts: TraceScene, origins, dirs, tmin, tmax,
             cull_backface, chunk=min(512, max(8, ts.num_tris)))
     if ts.mode == "tile":
         return tile_trace.tile_closest(ts.clusters, origins, dirs, tmin, tmax,
-                                       cull_backface)
+                                       cull_backface, tile=TILE_LANES)
     return traverse.bvh_closest(
         origins, dirs, tmin, tmax,
         ts.bvh_min, ts.bvh_max, ts.bvh_skip, ts.bvh_leaf_start,
@@ -136,7 +138,8 @@ def trace_any(ts: TraceScene, origins, dirs, tmin, tmax):
             origins, dirs, ts.tri_p0, ts.tri_e1, ts.tri_e2, tmin, tmax,
             chunk=min(512, max(8, ts.num_tris)))
     if ts.mode == "tile":
-        return tile_trace.tile_any(ts.clusters, origins, dirs, tmin, tmax)
+        return tile_trace.tile_any(ts.clusters, origins, dirs, tmin, tmax,
+                                   tile=TILE_LANES)
     return traverse.bvh_any(
         origins, dirs, tmin, tmax,
         ts.bvh_min, ts.bvh_max, ts.bvh_skip, ts.bvh_leaf_start,
