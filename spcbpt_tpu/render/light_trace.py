@@ -5,8 +5,9 @@ __raygen__lightTrace raygen.cu:620-685, __closesthit__lightSubpath
 hit_program.cu:341-438, vertex init raygen.cu:173-216): sample a light
 uniformly, draw a cosine start direction (env: disk-projected origin), store
 the origin vertex, then bounce with Disney sampling under RR, storing at every
-hit a vertex with cumulative flux/pdf, subspace label (light tree), and the
-light-side recursive-MIS accumulator updated per rmis.h:22-98.
+hit a vertex with the cumulative flux/pdf RATIO (unit-invariant; see
+LightVertices), subspace label (light tree), and the light-side
+recursive-MIS accumulator updated per rmis.h:22-98.
 
 TPU shape: one lane per light path (the reference's core x M_per_core loop is
 flattened), lax.scan over the depth cap; the per-depth vertex batches are the
@@ -34,10 +35,9 @@ def _origin_vertices(ts: TraceScene, ls: lights_mod.LightSample, n: int):
     return LightVertices(
         position=ls.position,
         normal=ls.normal,
-        flux=ls.emission,
+        ratio=ls.emission / jnp.maximum(ls.pdf, 1e-30)[..., None],
         color=jnp.ones((n, 3)),
         last_position=z3,
-        pdf=ls.pdf,
         single_pdf=ls.pdf,
         last_normal_proj=jnp.ones((n,)),
         last_lum=jnp.zeros((n,)),
@@ -118,16 +118,19 @@ def trace_light_paths(ts: TraceScene, ss: classify.SubspaceState,
         pdf_g = jnp.where(last.is_env, cos_mid * cos_last,
                           cos_mid * cos_last * inv_t2)
 
-        flux = jnp.where(last.is_origin[..., None],
-                         last.flux * pdf_g[..., None],
-                         c["pending_f"] * last.flux * pdf_g[..., None])
+        # ratio update: the pdf_g geometry factor cancels between cumulative
+        # flux and pdf, leaving the unit-invariant throughput recurrence
+        # ratio *= f * cos / (bpdf * rr) (see LightVertices docstring)
+        step = (cos_last / jnp.maximum(c["pending_single_pdf"], 1e-30))[..., None]
+        ratio = jnp.where(last.is_origin[..., None],
+                          last.ratio * step,
+                          last.ratio * c["pending_f"] * step)
         single_pdf = c["pending_single_pdf"] * pdf_g / jnp.maximum(cos_last, 1e-20)
-        pdf = last.pdf * single_pdf
 
         last_position = jnp.where(last.is_env[..., None],
                                   geom["P"] - d, last.position)
         subspace = classify.label_light(ss, geom["P"], n_mid)
-        last_lum = vec.float3weight(last.flux) / jnp.maximum(last.pdf, 1e-30)
+        last_lum = vec.float3weight(last.ratio)
 
         # light-side RMIS update (rmis.h:22-26, 80-98)
         ll_pdf = _get_last_pdf(ts, last, d)
@@ -138,8 +141,8 @@ def trace_light_paths(ts: TraceScene, ss: classify.SubspaceState,
         rmis = jnp.where(last.is_origin, rmis_init, rmis_upd)
 
         mid = LightVertices(
-            position=geom["P"], normal=n_mid, flux=flux, color=geom["base_color"],
-            last_position=last_position, pdf=pdf, single_pdf=single_pdf,
+            position=geom["P"], normal=n_mid, ratio=ratio, color=geom["base_color"],
+            last_position=last_position, single_pdf=single_pdf,
             last_normal_proj=cos_last, last_lum=last_lum, rmis=rmis,
             mat_id=geom["mat_id"], subspace_id=subspace,
             eye_label=classify.label_eye(ss, geom["P"], n_mid),

@@ -40,7 +40,7 @@ def build_sampler(lv: LightVertices) -> LVCSampler:
     flat = reshape_flat(lv)
     v_count = flat.valid.shape[0]
 
-    w = vec.float3weight(flat.flux) / jnp.maximum(flat.pdf, 1e-30)
+    w = vec.float3weight(flat.ratio)
     w = jnp.where(jnp.isnan(w) | jnp.isinf(w), 0.0, w)
     w = jnp.where(flat.valid, w, 0.0)
 

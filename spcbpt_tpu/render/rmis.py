@@ -23,12 +23,14 @@ from ..utils import vec
 
 @struct.dataclass
 class EyeVertices:
-    """Eye sub-path vertex state carried through the SPCBPT eye loop."""
+    """Eye sub-path vertex state carried through the SPCBPT eye loop.
+    Cumulative flux/pdf are carried as their ratio (see LightVertices in
+    render/vertex.py) by the renderers; only the per-segment single_pdf
+    lives on the vertex for the RMIS recursion."""
     position: jnp.ndarray
     normal: jnp.ndarray
     color: jnp.ndarray
     last_position: jnp.ndarray
-    pdf: jnp.ndarray
     single_pdf: jnp.ndarray
     last_normal_proj: jnp.ndarray
     rmis3: jnp.ndarray           # (..., 3) RMIS_pointer_3
@@ -95,7 +97,7 @@ def get_pdf_from_light_source(ts, light_v, end_position, end_normal):
     if ts.has_env:
         from ..scene import envmap as env_mod
         proj = env_mod.env_project_pdf(ts.env)
-        dir_pdf = (light_v.pdf * 0 + proj) * jnp.abs(
+        dir_pdf = (light_v.single_pdf * 0 + proj) * jnp.abs(
             vec.dot(light_v.normal, end_normal))
         return jnp.where(light_v.is_env, dir_pdf, area_pdf)
     return area_pdf
@@ -128,7 +130,7 @@ def tracing_weight_eye(ts, ss, last, mid_position, mid_is_dir=None):
     light-tree label cached on the eye vertex (reference recomputes per
     connection, rmis.h:148-151)."""
     w = connect_rate(ss, last.last_zone_id, last.light_label,
-                     jnp.ones_like(last.pdf))
+                     jnp.ones_like(last.single_pdf))
     return jnp.where(last.last_brdf | last.is_brdf | (last.depth == 1), 0.0, w)
 
 
@@ -156,19 +158,19 @@ def general_connection(ts, ss, eye_v: EyeVertices, light_v) -> jnp.ndarray:
     eye_v to a light vertex with depth>0."""
     connect_vec = eye_v.position - light_v.position
     connect_dir = vec.normalize(connect_vec)
-    flux = light_v.flux / jnp.maximum(light_v.pdf, 1e-30)[..., None]
+    flux = light_v.ratio
 
     d_a0 = _eye_side_D(ts, ss, eye_v, light_v, connect_dir, flux)
     la = vec.normalize(light_v.last_position - light_v.position)
     pdf_a = get_pdf(ts, light_v, eye_v.position, eye_v.normal,
-                    jnp.zeros_like(eye_v.pdf, bool), la)
+                    jnp.zeros_like(eye_v.single_pdf, bool), la)
     fm1 = flux_multiplier(ts, light_v, la, connect_dir)
     d_a = vec.float3weight(d_a0 * pdf_a[..., None] * fm1 * flux) \
         / jnp.maximum(eye_v.single_pdf, 1e-30)
 
     weight = vec.float3weight(
         connect_rate(ss, eye_v.subspace_id, light_v.subspace_id,
-                     jnp.ones_like(eye_v.pdf))[..., None] * flux)
+                     jnp.ones_like(eye_v.single_pdf))[..., None] * flux)
 
     ll_pdf_b = get_last_pdf(ts, light_v, connect_dir)
     weight_b = tracing_weight_light(ts, ss, light_v, eye_v.position)
@@ -188,7 +190,7 @@ def connection_light_source(ts, ss, eye_v: EyeVertices, light_v) -> jnp.ndarray:
     connect_vec = eye_v.position - light_v.position
     connect_dir = jnp.where(light_v.is_env[..., None], light_v.normal,
                             vec.normalize(connect_vec))
-    flux = light_v.flux / jnp.maximum(light_v.pdf, 1e-30)[..., None]
+    flux = light_v.ratio
 
     d_a0 = _eye_side_D(ts, ss, eye_v, light_v, connect_dir, flux)
     pdf_a = get_pdf_from_light_source(ts, light_v, eye_v.position, eye_v.normal)
@@ -203,7 +205,7 @@ def connection_light_source(ts, ss, eye_v: EyeVertices, light_v) -> jnp.ndarray:
 
     weight = vec.float3weight(
         connect_rate(ss, eye_v.subspace_id, light_v.subspace_id,
-                     jnp.ones_like(eye_v.pdf))[..., None] * flux)
+                     jnp.ones_like(eye_v.single_pdf))[..., None] * flux)
 
     d_b0 = light_v.rmis
     lb = vec.normalize(eye_v.last_position - eye_v.position)
@@ -241,12 +243,12 @@ def light_hit(ts, ss, eye_v: EyeVertices, lv_position, lv_normal, lv_flux,
 
     weight = vec.float3weight(
         connect_rate(ss, eye_v.subspace_id, lv_subspace,
-                     jnp.ones_like(eye_v.pdf))[..., None] * flux)
+                     jnp.ones_like(eye_v.single_pdf))[..., None] * flux)
     weight = jnp.where(eye_v.is_brdf, 0.0, weight)
 
     d_b = jnp.ones_like(pdf_a)  # virtual vertex rmis = 1
     lb = vec.normalize(eye_v.last_position - eye_v.position)
     pdf_b = get_pdf(ts, eye_v, lv_position, lv_normal,
-                    jnp.zeros_like(eye_v.pdf, bool), lb)
+                    jnp.zeros_like(eye_v.single_pdf, bool), lb)
     denom = ((weight + d_a) / jnp.maximum(pdf_b, 1e-30) * lv_pdf + d_b)
     return d_b / jnp.maximum(denom, 1e-30)

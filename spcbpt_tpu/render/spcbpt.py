@@ -42,7 +42,7 @@ def _init_eye_vertices(origins, dirs):
     zb = jnp.zeros((n,), bool)
     return EyeVertices(
         position=origins, normal=dirs, color=jnp.ones((n, 3)),
-        last_position=origins, pdf=jnp.ones((n,)), single_pdf=jnp.ones((n,)),
+        last_position=origins, single_pdf=jnp.ones((n,)),
         last_normal_proj=jnp.ones((n,)), rmis3=jnp.zeros((n, 3)),
         mat_id=zi, subspace_id=zi, light_label=zi, last_zone_id=zi, depth=zi,
         is_ll_direction=zb, is_brdf=zb, last_brdf=zb,
@@ -73,23 +73,24 @@ def connect_vertex(ts: TraceScene, ss: classify.SubspaceState,
     fb = jnp.where(light_v.is_origin[..., None],
                    jnp.where(facing[..., None], 1.0, 0.0), fb)
 
-    contri = eye_v.flux * light_v.flux * fa * fb * g[..., None]
-    pdf = eye_v.pdf * light_v.pdf
+    # cumulative flux/pdf enter only as their ratio (unit-invariant; see
+    # LightVertices): contri/pdf == eye.ratio * light.ratio * fa * fb * g
+    contri = eye_v.ratio * light_v.ratio * fa * fb * g[..., None]
 
     w_general = rmis.general_connection(ts, ss, eye_v, light_v)
     w_source = rmis.connection_light_source(ts, ss, eye_v, light_v)
     w = jnp.where(light_v.depth == 0, w_source, w_general)
 
     # direction-connect variant (raygen.cu:234-252): L = a.flux/a.pdf * fa *
-    # cos * b.flux/b.pdf * w ; the general formula divides by b.pdf too via
-    # pdf, so fold by setting g -> cos_a and fb -> 1 for env vertices
-    contri_dir = (eye_v.flux * light_v.flux * fa
+    # cos * b.flux/b.pdf * w — i.e. the ratio product without fb and with
+    # g -> cos_a for env vertices
+    contri_dir = (eye_v.ratio * light_v.ratio * fa
                   * vec.dot(eye_v.normal, conn_dir_e)[..., None])
     ok_dir = vec.dot(eye_v.normal, conn_dir_e) > 0.0
     contri = jnp.where(dir_conn[..., None],
                        jnp.where(ok_dir[..., None], contri_dir, 0.0), contri)
 
-    ans = contri / jnp.maximum(pdf, 1e-30)[..., None] * w[..., None]
+    ans = contri * w[..., None]
     return vec.scrub(ans)
 
 
@@ -100,13 +101,13 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
     """Returns f(origins, dirs, rng_state) -> (N, 3) one SPCBPT sample/lane.
 
     record=True additionally returns the per-depth eye vertices (the scan's
-    `mid` outputs plus extended flux/pdf and a validity mask) so tests can
+    `mid` outputs plus the extended flux/pdf ratio and a validity mask) so tests can
     rebuild complete paths and check the cached RMIS weights against the
     exact full-path oracle (render/oracle.py; reference
     __raygen__SPCBPT_no_rmis raygen.cu:445-463).
 
-    Note: carried 'flux'/'pdf' live on an extended eye vertex; the eye vertex
-    struct tracks the cumulative quantities of BDPTVertex."""
+    Note: the carried 'ratio' is the cumulative flux/pdf of BDPTVertex as a
+    single unit-invariant quantity (see LightVertices)."""
 
     def step(origins, dirs, state):
         n = origins.shape[0]
@@ -114,7 +115,7 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
         carry = dict(
             o=origins, d=dirs, state=state,
             v=eye0,
-            flux=jnp.ones((n, 3)), vpdf=jnp.ones((n,)),
+            ratio=jnp.ones((n, 3)),
             pending_f=jnp.ones((n, 3)), pending_single=jnp.ones((n,)),
             result=jnp.zeros((n, 3)),
             done=jnp.zeros((n,), bool),
@@ -138,36 +139,34 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
             inv_t2 = 1.0 / jnp.maximum(hit.t * hit.t, 1e-20)
 
             # ---- emitter hit (hit_program.cu:62-147) ----
+            # the (cos*cos/t^2) geometry factor cancels between cumulative
+            # flux and pdf; carry the unit-invariant ratio directly
             lid = jnp.maximum(geom["light_id"], 0)
             ls_rev = lights_mod.reverse_sample_quad(ts, lid, geom["uv"])
-            cos_ln = jnp.abs(vec.dot(d, ls_rev.normal))
-            pdf_g_l = cos_ln * cos_last * inv_t2
             front = vec.dot(d, ls_rev.normal) <= 0.0
-            # depth>=2: cumulative flux folds the pending BSDF factor from the
-            # previous bounce (hit_program.cu:99-106 multiplies MidVertex.flux,
+            # depth>=2: the pending BSDF factor from the previous bounce folds
+            # in here (hit_program.cu:99-106 multiplies MidVertex.flux,
             # pre-seeded with Eval at the previous hit, into the product)
-            flux_l = jnp.where((last.depth == 0)[..., None],
-                               c["flux"],
-                               c["pending_f"] * c["flux"]) \
-                * (pdf_g_l[..., None] * ls_rev.emission)
-            single_l = c["pending_single"] * pdf_g_l / jnp.maximum(cos_last, 1e-20)
-            pdf_l = c["vpdf"] * single_l
+            step = (cos_last / jnp.maximum(c["pending_single"], 1e-30))[..., None]
+            ratio_l = jnp.where((last.depth == 0)[..., None],
+                                c["ratio"],
+                                c["pending_f"] * c["ratio"]) \
+                * (step * ls_rev.emission)
             direct = c["depth"] == 0  # MidVertex.depth == 1
             w_hit = rmis.light_hit(ts, ss, last, geom["P"], ls_rev.normal,
                                    ls_rev.emission, ls_rev.pdf,
                                    ls_rev.subspace_id)
             w_hit = jnp.where(direct, 1.0, w_hit)
-            emit = flux_l / jnp.maximum(pdf_l, 1e-30)[..., None] * w_hit[..., None]
+            emit = ratio_l * w_hit[..., None]
             result = c["result"] + jnp.where((hit_light & front)[..., None],
                                              vec.scrub(emit), 0.0)
 
             # ---- new eye vertex (hit_program.cu:246-340) ----
             pdf_g = cos_mid_l * cos_last * inv_t2
-            flux_mid = jnp.where((last.depth == 0)[..., None],
-                                 c["flux"] * pdf_g[..., None],
-                                 c["pending_f"] * c["flux"] * pdf_g[..., None])
+            ratio_mid = jnp.where((last.depth == 0)[..., None],
+                                  c["ratio"],
+                                  c["pending_f"] * c["ratio"]) * step
             single_mid = c["pending_single"] * pdf_g / jnp.maximum(cos_last, 1e-20)
-            pdf_mid = c["vpdf"] * single_mid
             sub_mid = classify.label_eye(ss, geom["P"], geom["Ns"])
             rmis3 = jnp.where((last.depth == 0)[..., None],
                               jnp.zeros((geom["P"].shape[0], 3)),
@@ -175,7 +174,7 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
                                                       jnp.zeros_like(hit_surf)))
             mid = EyeVertices(
                 position=geom["P"], normal=geom["Ns"], color=geom["base_color"],
-                last_position=last.position, pdf=pdf_mid, single_pdf=single_mid,
+                last_position=last.position, single_pdf=single_mid,
                 last_normal_proj=cos_last, rmis3=rmis3,
                 mat_id=geom["mat_id"], subspace_id=sub_mid,
                 light_label=classify.label_light(ss, geom["P"], geom["Ns"]),
@@ -183,13 +182,11 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
                 is_ll_direction=jnp.zeros_like(hit_surf),
                 is_brdf=jnp.zeros_like(hit_surf), last_brdf=last.is_brdf,
             )
-            mid_ext_flux = flux_mid
-            mid_ext_pdf = pdf_mid
 
             # ---- CONNECTION_N probabilistic connections (raygen.cu:390-420) ----
             if connection_n > 0:
                 conn_total, state2 = _connections(
-                    ts, ss, sampler, mid, mid_ext_flux, mid_ext_pdf, c["state"],
+                    ts, ss, sampler, mid, ratio_mid, c["state"],
                     connection_n, uniform, second_stage)
                 result = result + jnp.where(hit_surf[..., None],
                                             conn_total / connection_n, 0.0)
@@ -218,15 +215,13 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
 
             y = 0
             if record:
-                y = dict(v=mid, flux=mid_ext_flux, pdf=mid_ext_pdf,
-                         valid=hit_surf)
+                y = dict(v=mid, ratio=ratio_mid, valid=hit_surf)
             return dict(
                 o=vec.where3(cont, geom["P"], c["o"]),
                 d=vec.where3(cont, new_d, c["d"]),
                 state=state2,
                 v=jax.tree_util.tree_map(sel, mid, last),
-                flux=sel(mid_ext_flux, c["flux"]),
-                vpdf=jnp.where(keep, mid_ext_pdf, c["vpdf"]),
+                ratio=sel(ratio_mid, c["ratio"]),
                 pending_f=vec.where3(cont, f, c["pending_f"]),
                 pending_single=jnp.where(cont, bpdf * rr, c["pending_single"]),
                 result=result,
@@ -258,16 +253,16 @@ def _env_r(ts):
     return ts.env.r if ts.has_env else jnp.float32(1.0)
 
 
-def _connections(ts, ss, sampler, mid: EyeVertices, eye_flux, eye_pdf, state,
+def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
                  connection_n: int, uniform: bool,
                  second_stage: str = "uniform"):
     # second_stage="uniform" (default): O(1) uniform-in-subspace vertex pick,
     # 1.48x faster frames at ~3% relMSE on the glossy A/B — equal-time win.
     # "weighted" = the reference's flux-weighted vertex CMF (cuProg.h:268).
     """The CONNECTION_N sampling/eval loop; returns (sum contribution, state)."""
-    n = eye_flux.shape[0]
+    n = eye_ratio.shape[0]
     total = jnp.zeros((n, 3))
-    eye_for_conn = _ConnEye(mid, eye_flux, eye_pdf)
+    eye_for_conn = _ConnEye(mid, eye_ratio)
     for _ in range(connection_n):
         if uniform:
             idx, pmf2, ok_seg, state = sample_uniform(sampler, state)
@@ -295,12 +290,12 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_flux, eye_pdf, state,
 
 
 class _ConnEye:
-    """Eye vertex view exposing cumulative flux/pdf for connection eval."""
+    """Eye vertex view exposing the cumulative flux/pdf ratio for
+    connection eval."""
 
-    def __init__(self, v: EyeVertices, flux, pdf):
+    def __init__(self, v: EyeVertices, ratio):
         self._v = v
-        self.flux = flux
-        self.pdf = pdf
+        self.ratio = ratio
 
     def __getattr__(self, k):
         return getattr(self._v, k)

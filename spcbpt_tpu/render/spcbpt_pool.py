@@ -58,7 +58,7 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
         o, d, state = camera_ray(pixel, rep)
         n = pixel.shape[0]
         return dict(o=o, d=d, state=state, v=_init_eye_vertices(o, d),
-                    flux=jnp.ones((n, 3)), vpdf=jnp.ones((n,)),
+                    ratio=jnp.ones((n, 3)),
                     pending_f=jnp.ones((n, 3)),
                     pending_single=jnp.ones((n,)),
                     result=jnp.zeros((n, 3)),
@@ -93,36 +93,33 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
         cos_last = jnp.abs(vec.dot(last.normal, d))
         inv_t2 = 1.0 / jnp.maximum(hit.t * hit.t, 1e-20)
 
-        # emitter hit (hit_program.cu:62-147)
+        # emitter hit (hit_program.cu:62-147); cumulative flux/pdf carried
+        # as their unit-invariant ratio (see LightVertices)
         lid = jnp.maximum(geom["light_id"], 0)
         ls_rev = lights_mod.reverse_sample_quad(ts, lid, geom["uv"])
-        cos_ln = jnp.abs(vec.dot(d, ls_rev.normal))
-        pdf_g_l = cos_ln * cos_last * inv_t2
         front = vec.dot(d, ls_rev.normal) <= 0.0
-        # depth>=2: cumulative flux folds the pending BSDF factor from the
-        # previous bounce (hit_program.cu:99-106 multiplies MidVertex.flux,
+        # depth>=2: the pending BSDF factor from the previous bounce folds in
+        # here (hit_program.cu:99-106 multiplies MidVertex.flux,
         # pre-seeded with Eval at the previous hit, into the product)
-        flux_l = jnp.where((last.depth == 0)[..., None],
-                           c["flux"],
-                           c["pending_f"] * c["flux"]) \
-            * (pdf_g_l[..., None] * ls_rev.emission)
-        single_l = c["pending_single"] * pdf_g_l / jnp.maximum(cos_last, 1e-20)
-        pdf_l = c["vpdf"] * single_l
+        step = (cos_last / jnp.maximum(c["pending_single"], 1e-30))[..., None]
+        ratio_l = jnp.where((last.depth == 0)[..., None],
+                            c["ratio"],
+                            c["pending_f"] * c["ratio"]) \
+            * (step * ls_rev.emission)
         direct = c["depth"] == 0
         w_hit = rmis.light_hit(ts, ss, last, geom["P"], ls_rev.normal,
                                ls_rev.emission, ls_rev.pdf, ls_rev.subspace_id)
         w_hit = jnp.where(direct, 1.0, w_hit)
-        emit = flux_l / jnp.maximum(pdf_l, 1e-30)[..., None] * w_hit[..., None]
+        emit = ratio_l * w_hit[..., None]
         result = c["result"] + jnp.where((hit_light & front)[..., None],
                                          vec.scrub(emit), 0.0)
 
         # new eye vertex
         pdf_g = cos_mid_l * cos_last * inv_t2
-        flux_mid = jnp.where((last.depth == 0)[..., None],
-                             c["flux"] * pdf_g[..., None],
-                             c["pending_f"] * c["flux"] * pdf_g[..., None])
+        ratio_mid = jnp.where((last.depth == 0)[..., None],
+                              c["ratio"],
+                              c["pending_f"] * c["ratio"]) * step
         single_mid = c["pending_single"] * pdf_g / jnp.maximum(cos_last, 1e-20)
-        pdf_mid = c["vpdf"] * single_mid
         sub_mid = classify.label_eye(ss, geom["P"], geom["Ns"])
         rmis3 = jnp.where((last.depth == 0)[..., None],
                           jnp.zeros((geom["P"].shape[0], 3)),
@@ -130,7 +127,7 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
                                                   jnp.zeros_like(hit_surf)))
         mid = EyeVertices(
             position=geom["P"], normal=geom["Ns"], color=geom["base_color"],
-            last_position=last.position, pdf=pdf_mid, single_pdf=single_mid,
+            last_position=last.position, single_pdf=single_mid,
             last_normal_proj=cos_last, rmis3=rmis3,
             mat_id=geom["mat_id"], subspace_id=sub_mid,
             light_label=classify.label_light(ss, geom["P"], geom["Ns"]),
@@ -140,7 +137,7 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
         )
 
         conn_total, state2 = _connections(
-            ts, ss, sampler, mid, flux_mid, pdf_mid, c["state"],
+            ts, ss, sampler, mid, ratio_mid, c["state"],
             connection_n, uniform, second_stage)
         result = result + jnp.where(hit_surf[..., None],
                                     conn_total / connection_n, 0.0)
@@ -191,8 +188,7 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
             d=taker(fresh["d"], vec.where3(cont, new_d, c["d"])),
             state=jnp.where(take, fresh["state"], state2),
             v=v_next,
-            flux=taker(fresh["flux"], selv(flux_mid, c["flux"])),
-            vpdf=jnp.where(take, 1.0, jnp.where(keep_v, pdf_mid, c["vpdf"])),
+            ratio=taker(fresh["ratio"], selv(ratio_mid, c["ratio"])),
             pending_f=taker(fresh["pending_f"],
                             vec.where3(cont, f, c["pending_f"])),
             pending_single=jnp.where(take, 1.0,

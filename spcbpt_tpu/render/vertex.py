@@ -13,16 +13,24 @@ from flax import struct
 
 @struct.dataclass
 class LightVertices:
-    """A batch of light sub-path vertices; leading axes arbitrary."""
+    """A batch of light sub-path vertices; leading axes arbitrary.
+
+    The reference stores cumulative flux and cumulative pdf separately
+    (BDPTVertex.h:9-70); every consumer (connection eval raygen.cu:253-303,
+    LVC weights device_thrust.cu:200-207, RMIS rmis.h) only ever uses their
+    RATIO, and the separate products underflow f32 at path length ~6 in
+    large-unit scenes (the (cos*cos/t^2)^depth factor cancels in the ratio).
+    We therefore carry `ratio = flux / pdf` directly — unit-invariant and
+    perfectly conditioned — plus the per-segment `single_pdf` that the RMIS
+    recursion consumes."""
     position: jnp.ndarray        # (..., 3)
     normal: jnp.ndarray          # (..., 3)
-    flux: jnp.ndarray            # (..., 3) cumulative local contribution
+    ratio: jnp.ndarray           # (..., 3) cumulative flux / cumulative pdf
     color: jnp.ndarray           # (..., 3) texture-modulated base color
     last_position: jnp.ndarray   # (..., 3)
-    pdf: jnp.ndarray             # (...,) cumulative area pdf (incl. RR)
     single_pdf: jnp.ndarray      # (...,) segment pdf for this vertex
     last_normal_proj: jnp.ndarray  # (...,) |dot(N_prev, dir)|
-    last_lum: jnp.ndarray        # (...,) float3sum(prev.flux/prev.pdf)
+    last_lum: jnp.ndarray        # (...,) float3sum(prev.ratio)
     rmis: jnp.ndarray            # (...,) light-side RMIS_pointer
     mat_id: jnp.ndarray          # (...,) int32
     subspace_id: jnp.ndarray     # (...,) int32

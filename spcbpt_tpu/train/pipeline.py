@@ -94,13 +94,26 @@ def preprocess(ts: TraceScene, cam_uvw, width: int, height: int,
     stats.seconds["trees"] = time.time() - t0
 
     # --- 4. label connections (node_label device_thrust.cu:569-573) ---
+    # chunked: the (N, NUM_SUBSPACE) score matrix of classify() would be
+    # ~80 GB at the reference's 2M x 10-conn corpus if done in one call
     cls_eye = jax.jit(lambda p, n: classify.classify(eye_cls, p, n))
     cls_light = jax.jit(lambda p, n: classify.classify(light_cls, p, n))
-    p_flat = jnp.asarray(data.a_position.reshape(-1, 3))
-    n_flat = jnp.asarray(data.a_normal.reshape(-1, 3))
-    label_a = np.asarray(cls_eye(p_flat, n_flat)).reshape(cv.shape)
-    bl = np.asarray(cls_light(jnp.asarray(data.b_position.reshape(-1, 3)),
-                              jnp.asarray(data.b_normal.reshape(-1, 3))))
+
+    def label_chunked(fn, p, n, chunk=1 << 18):
+        outs = []
+        for i in range(0, len(p), chunk):
+            pc = np.zeros((chunk, 3), np.float32)
+            nc = np.zeros((chunk, 3), np.float32)
+            m = len(p[i:i + chunk])
+            pc[:m] = p[i:i + chunk]
+            nc[:m] = n[i:i + chunk]
+            outs.append(np.asarray(fn(jnp.asarray(pc), jnp.asarray(nc)))[:m])
+        return np.concatenate(outs)
+
+    label_a = label_chunked(cls_eye, data.a_position.reshape(-1, 3),
+                            data.a_normal.reshape(-1, 3)).reshape(cv.shape)
+    bl = label_chunked(cls_light, data.b_position.reshape(-1, 3),
+                       data.b_normal.reshape(-1, 3))
     label_b = np.where(data.light_source, data.label_b, bl.reshape(cv.shape))
 
     # --- 5. Q ---

@@ -30,7 +30,7 @@ def q_batch(lv: LightVertices):
     """Per-subspace summed weight + path count for one light-trace launch.
     Returns (q_sum (NUM_SUBSPACE,), path_count ())."""
     flat = reshape_flat(lv)
-    w = vec.float3weight(flat.flux) / jnp.maximum(flat.pdf, 1e-30)
+    w = vec.float3weight(flat.ratio)
     w = jnp.where(jnp.isnan(w) | jnp.isinf(w) | ~flat.valid, 0.0, w)
     q = jnp.zeros(NUM_SUBSPACE, jnp.float32).at[
         jnp.clip(flat.subspace_id, 0, NUM_SUBSPACE - 1)].add(w)

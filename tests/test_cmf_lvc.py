@@ -65,8 +65,8 @@ def test_lvc_sampler_structure():
     z3 = jnp.zeros((n, 3))
     zb = jnp.zeros(n, bool)
     lv = LightVertices(
-        position=z3, normal=z3, flux=jnp.asarray(flux), color=z3,
-        last_position=z3, pdf=jnp.asarray(pdf), single_pdf=jnp.ones(n),
+        position=z3, normal=z3, ratio=jnp.asarray(flux / pdf[:, None]),
+        color=z3, last_position=z3, single_pdf=jnp.ones(n),
         last_normal_proj=jnp.ones(n), last_lum=jnp.zeros(n),
         rmis=jnp.ones(n), mat_id=jnp.zeros(n, jnp.int32),
         subspace_id=jnp.asarray(sub), eye_label=jnp.zeros(n, jnp.int32),

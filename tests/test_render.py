@@ -33,11 +33,12 @@ def test_light_trace_physicality(cornell):
     area = float(ts.lights.area[0])  # scene-unit-normalized light area
     lv = light_trace.trace_light_paths(ts, ss, 512, 0, max_depth=4)
     v = jax.tree_util.tree_map(np.asarray, lv)
-    # depth 0: all valid, flux = emission, pdf = 1/(area*num_lights)
+    # depth 0: all valid, ratio = emission/pdf with pdf = 1/(area*num_lights),
+    # single_pdf = the light pdf itself
     assert v.valid[0].all()
-    np.testing.assert_allclose(v.flux[0], np.tile([18.4, 15.6, 8.0], (512, 1)),
-                               rtol=1e-5)
-    np.testing.assert_allclose(v.pdf[0], 1.0 / area, rtol=1e-5)
+    np.testing.assert_allclose(
+        v.ratio[0], np.tile([18.4, 15.6, 8.0], (512, 1)) * area, rtol=1e-5)
+    np.testing.assert_allclose(v.single_pdf[0], 1.0 / area, rtol=1e-5)
     # depth 1 RMIS_pointer = 1/light_pdf (rmis.h:22-26)
     d1 = v.valid[1]
     assert d1.sum() > 100
@@ -46,7 +47,7 @@ def test_light_trace_physicality(cornell):
     counts = v.valid.sum(axis=1)
     assert (np.diff(counts) <= 0).all()
     # all stored quantities finite on valid slots
-    for field in ("flux", "pdf", "single_pdf", "rmis", "position"):
+    for field in ("ratio", "single_pdf", "rmis", "position"):
         arr = getattr(v, field)
         assert np.isfinite(arr[v.valid]).all(), field
 

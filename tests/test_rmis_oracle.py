@@ -112,8 +112,10 @@ def _build_path(od, rec, lvs, m, l):
         color=jnp.stack(col, axis=1),
         mat_id=jnp.stack(mat, axis=1),
         size=jnp.full((n,), size, jnp.int32),
-        light_flux=lv0.flux,
-        light_pdf=lv0.pdf,
+        # origin vertices: cumulative pdf == single_pdf, so the raw emission
+        # is ratio * single_pdf
+        light_flux=lv0.ratio * lv0.single_pdf[..., None],
+        light_pdf=lv0.single_pdf,
         light_subspace=lv0.subspace_id,
     )
     return path, valid, size
@@ -178,7 +180,8 @@ def test_emitter_hit_matches_oracle(setup, m):
     eye_v = jax.tree_util.tree_map(lambda a: a[m - 1], rec["v"])
     lv0 = jax.tree_util.tree_map(lambda a: a[0], lvs)
     cached = rmis.light_hit(ts, ss, eye_v, lv0.position, lv0.normal,
-                            lv0.flux, lv0.pdf, lv0.subspace_id)
+                            lv0.ratio * lv0.single_pdf[..., None],
+                            lv0.single_pdf, lv0.subspace_id)
     expect = _oracle_ratio(ts, ss, path, size, size)
     rel, ok = _compare(cached, expect, valid)
     assert rel.max() < 0.05, (
