@@ -58,6 +58,35 @@ def block_order(width: int, height: int, bw: int = 8, bh: int = 8):
             .transpose(0, 2, 1, 3).reshape(-1))
 
 
+def _morton3(q, bits: int):
+    """Interleave the low `bits` of 3 int32 coords (q: (..., 3))."""
+    out = jnp.zeros(q.shape[:-1], jnp.int32)
+    for b in range(bits):
+        for a in range(3):
+            out = out | (((q[..., a] >> b) & 1) << (3 * b + a))
+    return out
+
+
+def ray_sort_key(cmin, cmax, origins, dirs, bits: int = 5):
+    """Wavefront coherence key: direction octant (major) then origin morton
+    cell (minor). Secondary-bounce wavefronts arrive in arbitrary lane order;
+    tiles of such rays defeat the per-tile interval culling of tile_entries
+    (origin bbox ~ scene, direction intervals straddle every axis -> every
+    cluster overlaps every tile). Sorting by this key re-forms coherent
+    tiles: within a tile all directions share sign per axis (no straddle)
+    and origins share a morton cell (tight origin box)."""
+    lo = jnp.min(cmin, axis=0)
+    hi = jnp.max(cmax, axis=0)
+    scale = (1 << bits) / jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip(((origins - lo) * scale).astype(jnp.int32), 0,
+                 (1 << bits) - 1)
+    morton = _morton3(q, bits)
+    octant = ((dirs[..., 0] < 0).astype(jnp.int32)
+              | ((dirs[..., 1] < 0).astype(jnp.int32) << 1)
+              | ((dirs[..., 2] < 0).astype(jnp.int32) << 2))
+    return (octant << (3 * bits)) | morton
+
+
 def _pad_rays(origins, dirs, tmin, tmax, tile):
     n = origins.shape[0]
     pad = (-n) % tile
@@ -302,12 +331,22 @@ def use_round_kernel() -> bool:
 
 
 @partial(jax.jit,
-         static_argnames=("tile", "cull_backface", "precision", "use_kernel"))
+         static_argnames=("tile", "cull_backface", "precision", "use_kernel",
+                          "sort_rays"))
 def tile_closest(cs: ClusterSet, origins, dirs, tmin, tmax,
                  cull_backface: bool = True, tile: int = 64,
                  precision=jax.lax.Precision.HIGHEST,
-                 use_kernel: bool = False) -> Hit:
-    """Closest-hit traversal. Returns Hit with t=_BIG / tri=-1 on miss."""
+                 use_kernel: bool = False, sort_rays: bool = False) -> Hit:
+    """Closest-hit traversal. Returns Hit with t=_BIG / tri=-1 on miss.
+    sort_rays=True re-orders the wavefront by ray_sort_key first (use for
+    incoherent secondary-bounce wavefronts; camera tiles are already
+    coherent)."""
+    ray_perm = None
+    if sort_rays:
+        key = ray_sort_key(cs.cmin, cs.cmax, origins, dirs)
+        ray_perm = jnp.argsort(key).astype(jnp.int32)
+        origins, dirs = origins[ray_perm], dirs[ray_perm]
+        tmin, tmax = tmin[ray_perm], tmax[ray_perm]
     origins, dirs, tmin, tmax, n_orig, pad = _pad_rays(
         origins, dirs, tmin, tmax, tile)
     n = origins.shape[0]
@@ -330,6 +369,9 @@ def tile_closest(cs: ClusterSet, origins, dirs, tmin, tmax,
         pos += sz
     out = [jnp.concatenate([p[i] for p in parts])[inv_order].reshape(n)[:n_orig]
            for i in range(4)]
+    if ray_perm is not None:
+        # scatter back to caller lane order
+        out = [jnp.zeros_like(a).at[ray_perm].set(a) for a in out]
     best_t, best_id, best_u, best_v = out
     found = best_id >= 0
     return Hit(t=jnp.where(found, best_t, _BIG), tri=best_id,
@@ -367,11 +409,17 @@ def _any_loop(cs, entries_s, ids_s, feats, tmin_t, tmax_t, precision):
     return occ
 
 
-@partial(jax.jit, static_argnames=("tile", "precision"))
+@partial(jax.jit, static_argnames=("tile", "precision", "sort_rays"))
 def tile_any(cs: ClusterSet, origins, dirs, tmin, tmax, tile: int = 64,
-             precision=jax.lax.Precision.HIGHEST):
+             precision=jax.lax.Precision.HIGHEST, sort_rays: bool = False):
     """Any-hit (occlusion) traversal: True where some triangle blocks
     [tmin, tmax]. No back-face culling (reference cuProg.h:478)."""
+    ray_perm = None
+    if sort_rays:
+        key = ray_sort_key(cs.cmin, cs.cmax, origins, dirs)
+        ray_perm = jnp.argsort(key).astype(jnp.int32)
+        origins, dirs = origins[ray_perm], dirs[ray_perm]
+        tmin, tmax = tmin[ray_perm], tmax[ray_perm]
     origins, dirs, tmin, tmax, n_orig, pad = _pad_rays(
         origins, dirs, tmin, tmax, tile)
     n = origins.shape[0]
@@ -386,5 +434,7 @@ def tile_any(cs: ClusterSet, origins, dirs, tmin, tmax, tile: int = 64,
         parts.append(_any_loop(cs, entries_s[:, sl], ids_s[:, sl], feats[sl],
                                tmin_t[sl], tmax_t[sl], precision))
         pos += sz
-    occ = jnp.concatenate(parts)[inv_order]
-    return occ.reshape(n)[:n_orig]
+    occ = jnp.concatenate(parts)[inv_order].reshape(n)[:n_orig]
+    if ray_perm is not None:
+        occ = jnp.zeros_like(occ).at[ray_perm].set(occ)
+    return occ

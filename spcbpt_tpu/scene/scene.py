@@ -36,6 +36,9 @@ BRUTE_FORCE_MAX_TRIS_CPU = 1024
 BRUTE_FORCE_MAX_TRIS_TPU = 512
 CLUSTER_TRI_K = 32
 TILE_LANES = 256
+# renderer wavefronts are incoherent after the first bounce; sorting restores
+# the two-level interval culling of ops/tile_trace (see ray_sort_key)
+SORT_RAYS = os.environ.get("SPCBPT_SORT_RAYS", "1") != "0"
 
 
 @struct.dataclass
@@ -123,7 +126,8 @@ def trace_closest(ts: TraceScene, origins, dirs, tmin, tmax,
             cull_backface, chunk=min(512, max(8, ts.num_tris)))
     if ts.mode == "tile":
         return tile_trace.tile_closest(ts.clusters, origins, dirs, tmin, tmax,
-                                       cull_backface, tile=TILE_LANES)
+                                       cull_backface, tile=TILE_LANES,
+                                       sort_rays=SORT_RAYS)
     return traverse.bvh_closest(
         origins, dirs, tmin, tmax,
         ts.bvh_min, ts.bvh_max, ts.bvh_skip, ts.bvh_leaf_start,
@@ -139,7 +143,7 @@ def trace_any(ts: TraceScene, origins, dirs, tmin, tmax):
             chunk=min(512, max(8, ts.num_tris)))
     if ts.mode == "tile":
         return tile_trace.tile_any(ts.clusters, origins, dirs, tmin, tmax,
-                                   tile=TILE_LANES)
+                                   tile=TILE_LANES, sort_rays=SORT_RAYS)
     return traverse.bvh_any(
         origins, dirs, tmin, tmax,
         ts.bvh_min, ts.bvh_max, ts.bvh_skip, ts.bvh_leaf_start,
