@@ -110,14 +110,18 @@ def ray_features(o, d):
 
 
 def build_clusters(flat: FlatBVH, p0: np.ndarray, e1: np.ndarray,
-                   e2: np.ndarray, max_tris: int = 64) -> ClusterSet:
+                   e2: np.ndarray, max_tris: int = 64,
+                   with_coeff: bool = True) -> ClusterSet:
     """Build a ClusterSet from a flattened BVH and the REORDERED triangle
     arrays (p0/e1/e2 already permuted by flat.order). Triangle ids in the
-    packed blocks refer to the reordered arrays (matching Hit.tri)."""
+    packed blocks refer to the reordered arrays (matching Hit.tri).
+    with_coeff=False skips the MXU coefficient blocks (4x the tri_block
+    bytes) for consumers that only need the raw blocks (ops/ray_walk.py)."""
     cl = _cut_bvh(flat, max_tris)
     c = len(cl)
     k = max_tris
-    coeff = np.zeros((c, k, FEAT_DIM, N_OUT), np.float32)
+    coeff = np.zeros((c, k, FEAT_DIM, N_OUT), np.float32) if with_coeff \
+        else None
     assert k <= 128, "cluster K above the 128-lane tile is unsupported"
     tri_block = np.zeros((c, 16, 128), np.float32)
     cmin = np.zeros((c, 3), np.float32)
@@ -127,15 +131,19 @@ def build_clusters(flat: FlatBVH, p0: np.ndarray, e1: np.ndarray,
     e1 = np.asarray(e1, np.float64)
     e2 = np.asarray(e2, np.float64)
     for ci, (lo, hi, node) in enumerate(cl):
-        coeff[ci, :hi - lo] = pack_coefficients(p0[lo:hi], e1[lo:hi],
-                                                e2[lo:hi])
+        if with_coeff:
+            coeff[ci, :hi - lo] = pack_coefficients(p0[lo:hi], e1[lo:hi],
+                                                    e2[lo:hi])
         raw = np.concatenate([p0[lo:hi], e1[lo:hi], e2[lo:hi]], axis=1)
         tri_block[ci, :9, :hi - lo] = raw.T
         cmin[ci] = flat.bounds_min[node]
         cmax[ci] = flat.bounds_max[node]
         begin[ci] = lo
     # (C, K, 16, 4) -> (C, 16, 4K): outputs grouped by kind then triangle slot
-    coeff = coeff.transpose(0, 2, 3, 1).reshape(c, FEAT_DIM, N_OUT * k)
+    if with_coeff:
+        coeff = coeff.transpose(0, 2, 3, 1).reshape(c, FEAT_DIM, N_OUT * k)
+    else:
+        coeff = np.zeros((1, 1, 1), np.float32)
     return ClusterSet(cmin=jnp.asarray(cmin), cmax=jnp.asarray(cmax),
                       coeff=jnp.asarray(coeff),
                       tri_block=jnp.asarray(tri_block),

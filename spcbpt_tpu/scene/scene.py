@@ -18,7 +18,7 @@ from flax import struct
 from ..config import NUM_SUBSPACE_LIGHTSOURCE
 from ..ops import bvh as bvh_mod
 from ..ops import clusters as clusters_mod
-from ..ops import intersect, tile_trace, traverse
+from ..ops import intersect, ray_walk, tile_trace, traverse
 from . import obj as obj_mod
 from .camera import Camera
 from .envmap import EnvMap, build_envmap, dummy_envmap
@@ -36,6 +36,9 @@ BRUTE_FORCE_MAX_TRIS_CPU = 1024
 BRUTE_FORCE_MAX_TRIS_TPU = 512
 CLUSTER_TRI_K = 32
 TILE_LANES = 256
+# ops/ray_walk keeps the whole (C, 16, 128) triangle table VMEM-resident
+# (64 B/tri); beyond this the tile path takes over
+WALK_MAX_TRIS = 120_000
 # renderer wavefronts are incoherent after the first bounce; sorting restores
 # the two-level interval culling of ops/tile_trace (see ray_sort_key)
 SORT_RAYS = os.environ.get("SPCBPT_SORT_RAYS", "1") != "0"
@@ -98,6 +101,8 @@ class TraceScene:
     bvh_leaf_count: jnp.ndarray
     # two-level cluster traversal (mode "tile"; None otherwise)
     clusters: Optional[clusters_mod.ClusterSet] = None
+    # K=128 cluster set for the row-walk kernel (mode "walk"; ops/ray_walk)
+    clusters_walk: Optional[clusters_mod.ClusterSet] = None
     # static metadata
     num_lights: int = struct.field(pytree_node=False, default=0)  # quads + env
     num_quad_lights: int = struct.field(pytree_node=False, default=0)
@@ -124,6 +129,10 @@ def trace_closest(ts: TraceScene, origins, dirs, tmin, tmax,
         return intersect.brute_force_closest(
             origins, dirs, ts.tri_p0, ts.tri_e1, ts.tri_e2, tmin, tmax,
             cull_backface, chunk=min(512, max(8, ts.num_tris)))
+    if ts.mode == "walk":
+        return ray_walk.walk_closest(ts.clusters_walk, origins, dirs,
+                                     tmin, tmax, cull_backface,
+                                     sort_rays=SORT_RAYS)
     if ts.mode == "tile":
         return tile_trace.tile_closest(ts.clusters, origins, dirs, tmin, tmax,
                                        cull_backface, tile=TILE_LANES,
@@ -141,6 +150,9 @@ def trace_any(ts: TraceScene, origins, dirs, tmin, tmax):
         return intersect.brute_force_any(
             origins, dirs, ts.tri_p0, ts.tri_e1, ts.tri_e2, tmin, tmax,
             chunk=min(512, max(8, ts.num_tris)))
+    if ts.mode == "walk":
+        return ray_walk.walk_any(ts.clusters_walk, origins, dirs, tmin, tmax,
+                                 sort_rays=SORT_RAYS)
     if ts.mode == "tile":
         return tile_trace.tile_any(ts.clusters, origins, dirs, tmin, tmax,
                                    tile=TILE_LANES, sort_rays=SORT_RAYS)
@@ -428,13 +440,20 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
         import jax
         if jax.default_backend() == "cpu":
             mode = "brute" if len(p0) <= BRUTE_FORCE_MAX_TRIS_CPU else "bvh"
+        elif len(p0) <= BRUTE_FORCE_MAX_TRIS_TPU:
+            mode = "brute"
         else:
-            mode = "brute" if len(p0) <= BRUTE_FORCE_MAX_TRIS_TPU else "tile"
+            mode = "walk" if len(p0) <= WALK_MAX_TRIS else "tile"
 
     cset = None
+    cset_walk = None
     if mode == "tile":
         cset = clusters_mod.build_clusters(flat, p0[order], e1[order],
                                            e2[order], max_tris=CLUSTER_TRI_K)
+    elif mode == "walk":
+        cset_walk = clusters_mod.build_clusters(
+            flat, p0[order], e1[order], e2[order], max_tris=128,
+            with_coeff=False)
 
     def dev(x, dt=jnp.float32):
         return jnp.asarray(x, dt)
@@ -454,7 +473,7 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
         bvh_skip=dev(flat.skip, jnp.int32),
         bvh_leaf_start=dev(flat.leaf_start, jnp.int32),
         bvh_leaf_count=dev(flat.leaf_count, jnp.int32),
-        clusters=cset,
+        clusters=cset, clusters_walk=cset_walk,
         num_lights=L + (1 if has_env else 0),
         num_quad_lights=L,
         has_env=has_env,
