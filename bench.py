@@ -64,11 +64,57 @@ def main():
     dt = time.time() - t0
     mrays = n * iters / dt / 1e6
 
+    # secondary metrics: the renderer-relevant numbers (incoherent bounce
+    # wavefront through the row-walk kernel, and a real PT frame)
+    extras = {}
+    try:
+        from spcbpt_tpu.ops import bsdf as bsdf_mod
+        from spcbpt_tpu.ops import ray_walk
+        from spcbpt_tpu.scene.scene import local_geometry, trace_closest
+        from spcbpt_tpu.utils import rng as rng_mod
+
+        nb = 1 << 17
+        o1, d1, _ = camera_rays(eye, U, V, W, 512, 512, 0, block=16)
+        hit = trace_closest(ts, o1[:nb], d1[:nb], 1e-3, 1e16, True)
+        geom = local_geometry(ts, hit, o1[:nb], d1[:nb])
+        st = rng_mod.seed(jnp.arange(nb, dtype=jnp.uint32), jnp.uint32(7))
+        mat = bsdf_mod.gather_mat(ts.mats, geom["mat_id"], geom["base_color"])
+        nd, _ = bsdf_mod.sample_bsdf(mat, geom["Ns"], -d1[:nb], st)
+        perm = np.random.RandomState(0).permutation(nb)
+        o2 = jnp.asarray(np.asarray(geom["P"])[perm])
+        d2 = jnp.asarray(np.asarray(nd)[perm])
+        tb = jnp.full((nb,), 1e-3)
+        te = jnp.full((nb,), 1e16)
+        cw = ts.clusters_walk
+        if cw is not None:
+            f2 = jax.jit(lambda: ray_walk.walk_closest(
+                cw, o2, d2, tb, te, True, sort_rays=True).t.sum())
+            jax.block_until_ready(f2())
+            t0 = time.time()
+            for _ in range(5):
+                out2 = f2()
+            jax.block_until_ready(out2)
+            extras["secondary_mrays_walk"] = round(
+                nb * 5 / (time.time() - t0) / 1e6, 2)
+
+        from spcbpt_tpu.render import pt_pool
+        fr = lambda s: pt_pool.render_pool_jit(ts, eye, U, V, W, 512, 512,
+                                               1, s, max_depth=12)
+        jax.block_until_ready(fr(0))
+        t0 = time.time()
+        for s in range(2):
+            out3 = fr(s + 1)
+        jax.block_until_ready(out3)
+        extras["pt_ms_per_spp_512"] = round((time.time() - t0) / 2 * 1e3, 1)
+    except Exception as e:  # secondary metrics must never sink the bench
+        extras["extras_error"] = str(e)[:200]
+
     print(json.dumps({
         "metric": "traversal_throughput_33k_tris",
         "value": round(mrays, 2),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / 50.0, 3),
+        **extras,
     }))
     return 0
 

@@ -33,6 +33,14 @@ def main(argv=None):
     p.add_argument("--light-paths", type=int, default=65536)
     p.add_argument("--light-depth", type=int, default=8)
     p.add_argument("--train-samples", type=int, default=200_000)
+    p.add_argument("--q-samples", type=int, default=None)
+    p.add_argument("--discard", type=float, default=0.001,
+                   help="fraction of largest per-value errors dropped from "
+                        "relMSE (firefly protocol; 0 disables)")
+    p.add_argument("--ref-npz", default=None,
+                   help="cache the PT reference here (load if it exists)")
+    p.add_argument("--checkpoint", default=None,
+                   help="save/load the trained state npz (skip retraining)")
     p.add_argument("--json", default=None)
     p.add_argument("--save-images", default=None, help="dir for PNGs")
     args = p.parse_args(argv)
@@ -56,15 +64,32 @@ def main(argv=None):
 
     results = {"scene": args.scene, "dim": args.dim, "algs": {}}
 
-    # ground truth: high-spp PT via the pool renderer
-    print(f"[ref] PT {args.ref_spp} spp ...", flush=True)
-    t0 = time.time()
-    fsum, count = pt_pool.render_pool_jit(ts, eye, U, V, W, width, height,
-                                          args.ref_spp, 10_000,
-                                          max_depth=args.max_depth)
-    jax.block_until_ready(fsum)
-    ref = np.asarray(fsum) / np.maximum(np.asarray(count)[:, None], 1)
-    print(f"[ref] done in {time.time()-t0:.1f}s", flush=True)
+    # ground truth: high-spp PT via the pool renderer (cached in --ref-npz)
+    import os
+    if args.ref_npz and os.path.exists(args.ref_npz):
+        ref = np.load(args.ref_npz)["img"]
+        assert ref.shape == (width * height, 3), ref.shape
+        print(f"[ref] loaded {args.ref_npz}", flush=True)
+    else:
+        print(f"[ref] PT {args.ref_spp} spp ...", flush=True)
+        t0 = time.time()
+        ref_acc = np.zeros((width * height, 3))
+        ref_cnt = np.zeros((width * height,))
+        chunk = 256
+        for s0 in range(0, args.ref_spp, chunk):
+            fsum, count = pt_pool.render_pool_jit(
+                ts, eye, U, V, W, width, height,
+                min(chunk, args.ref_spp - s0), 10_000 + s0,
+                max_depth=args.max_depth)
+            jax.block_until_ready(fsum)
+            ref_acc += np.asarray(fsum)
+            ref_cnt += np.asarray(count)
+            print(f"[ref] {s0 + min(chunk, args.ref_spp - s0)}"
+                  f"/{args.ref_spp} spp ({time.time()-t0:.0f}s)", flush=True)
+        ref = ref_acc / np.maximum(ref_cnt[:, None], 1)
+        print(f"[ref] done in {time.time()-t0:.1f}s", flush=True)
+        if args.ref_npz:
+            np.savez_compressed(args.ref_npz, img=ref.astype(np.float32))
 
     algs = args.algs.split(",")
     ss_trained = None
@@ -74,13 +99,26 @@ def main(argv=None):
         ss = classify.untrained_state()
         if alg == "spcbpt":
             if ss_trained is None:
-                cfg = PretraceConfig(num_core=8192,
-                                     target_samples=args.train_samples,
-                                     target_q_samples=args.train_samples)
-                ss_trained, _ = pipeline.preprocess(
-                    ts, (eye, U, V, W), width, height, cfg,
-                    lt_paths=min(args.light_paths, 50_000),
-                    lt_depth=args.light_depth)
+                import os as _os
+                from .. import checkpoint as ckpt_mod
+                if args.checkpoint and _os.path.exists(args.checkpoint):
+                    ss_trained = ckpt_mod.load_subspace_state(args.checkpoint)
+                    print(f"[train] resumed {args.checkpoint}", flush=True)
+                else:
+                    t0 = time.time()
+                    cfg = PretraceConfig(
+                        num_core=8192,
+                        target_samples=args.train_samples,
+                        target_q_samples=args.q_samples or args.train_samples)
+                    ss_trained, pstats = pipeline.preprocess(
+                        ts, (eye, U, V, W), width, height, cfg,
+                        lt_paths=min(args.light_paths, 50_000),
+                        lt_depth=args.light_depth, verbose=True)
+                    print(f"[train] {time.time()-t0:.0f}s "
+                          f"{pstats.seconds}", flush=True)
+                    if args.checkpoint:
+                        ckpt_mod.save_subspace_state(args.checkpoint,
+                                                     ss_trained)
             ss = ss_trained
         if alg == "pt":
             def one(s, acc):
@@ -125,7 +163,7 @@ def main(argv=None):
         img, spp_done, dt = render_alg(
             alg, budget_s=args.equal_time,
             spp=None if args.equal_time else args.spp)
-        e = rel_mse(img, ref)
+        e = rel_mse(img, ref, discard=args.discard)
         results["algs"][alg] = {"relmse": e, "spp": spp_done, "seconds": dt}
         print(f"[bench] {alg}: relMSE {e:.5f} at {spp_done} spp "
               f"({dt:.1f}s)", flush=True)

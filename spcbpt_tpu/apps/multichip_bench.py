@@ -1,0 +1,128 @@
+"""BASELINE config 5: multi-chip tiled SPCBPT at 2048x2048, equal-time
+SPCBPT(uniform)=BDPT vs SPCBPT over a device mesh.
+
+On hardware this runs over real chips; in this environment it validates on
+the virtual CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8):
+correctness (estimator equivalence between mesh shapes) plus scaling shape
+(work per chip vs mesh size — on virtual devices wall-clock scaling is
+meaningless, so we report per-chip lane counts and verify bitwise-stable
+estimator means across meshes with identical seed streams).
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python -m spcbpt_tpu.apps.multichip_bench --dim 2048x2048 --json out.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", default="cornell_glossy")
+    p.add_argument("--dim", default="2048x2048")
+    p.add_argument("--light-paths-per-chip", type=int, default=8192)
+    p.add_argument("--max-depth", type=int, default=8)
+    p.add_argument("--meshes", default="1x1,2x1,4x1,4x2",
+                   help="comma list of TILExSPP mesh shapes")
+    p.add_argument("--json", default=None)
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ..runtime import setup as _setup
+    _setup()
+    from ..parallel import tile as par
+    from ..scene.scene import load_trace_scene
+    from ..train import classify
+    from .render_cli import resolve_scene
+
+    try:
+        devices = jax.devices("cpu")
+    except RuntimeError:
+        devices = jax.devices()
+    print(f"[devices] {len(devices)} x {devices[0].platform}", flush=True)
+
+    width, height = map(int, args.dim.lower().split("x"))
+    ts, desc, cam = load_trace_scene(resolve_scene(args.scene))
+    cam.aspect = width / height
+    uvw = cam.uvw()
+    ss = classify.untrained_state()
+
+    results = {"scene": args.scene, "dim": args.dim,
+               "devices": len(devices), "meshes": {}}
+    base_mean = {}
+    for shape in args.meshes.split(","):
+        t_, s_ = map(int, shape.lower().split("x"))
+        if t_ * s_ > len(devices):
+            print(f"[skip] mesh {shape}: needs {t_*s_} devices", flush=True)
+            continue
+        mesh = par.make_mesh(devices[:t_ * s_], tile=t_, spp=s_)
+        entry = {}
+
+        # PT: pixel-seeded RNG only, so every TILEx1 mesh must reproduce
+        # the single-chip image EXACTLY (pure pixel split, no chip state)
+        fn = jax.jit(lambda ts_, mesh=mesh: par.sharded_pt_render(
+            ts_, uvw, width, height, 3, mesh, max_depth=args.max_depth))
+        img = fn(ts); jax.block_until_ready(img)
+        t0 = time.time(); img = fn(ts); jax.block_until_ready(img)
+        dt = time.time() - t0
+        m = float(jnp.mean(img))
+        if ("pt", s_) not in base_mean:
+            base_mean[("pt", s_)] = m
+        dev = abs(m / base_mean[("pt", s_)] - 1.0)
+        entry["pt"] = {"mean": m, "seconds": dt,
+                       "mpaths_per_s_total": width * height / dt / 1e6,
+                       "mean_vs_smallest_mesh": dev}
+        print(f"[mesh {shape}] pt: mean {m:.6f} (dev {dev:.2e}) {dt:.1f}s",
+              flush=True)
+        assert dev < 1e-5, f"PT pixel-split mismatch on mesh {shape}"
+
+        for alg, uniform in (("bdpt", True), ("spcbpt", False)):
+            fn = jax.jit(lambda ts_, ss_, mesh=mesh, uniform=uniform:
+                         par.sharded_spcbpt_render(
+                             ts_, ss_, uvw, width, height, 3, mesh,
+                             args.light_paths_per_chip,
+                             max_depth=args.max_depth, uniform=uniform))
+            t0 = time.time()
+            img = fn(ts, ss)
+            jax.block_until_ready(img)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            img = fn(ts, ss)
+            jax.block_until_ready(img)
+            dt = time.time() - t0
+            m = float(jnp.mean(img))
+            lanes = width * height // t_
+            entry[alg] = {
+                "mean": m, "seconds": dt, "compile_seconds": compile_s,
+                "lanes_per_chip": lanes,
+                "mpaths_per_s_total": width * height / dt / 1e6,
+            }
+            # BDPT/SPCBPT regenerate the LVC per chip with decorrelated
+            # seeds (parallel/tile.py), so cross-mesh agreement is
+            # statistical, not bitwise
+            key = (alg, s_)
+            if key not in base_mean:
+                base_mean[key] = m
+            dev = abs(m / base_mean[key] - 1.0)
+            entry[alg]["mean_vs_smallest_mesh"] = dev
+            print(f"[mesh {shape}] {alg}: mean {m:.6f} "
+                  f"(dev {dev:.2e}) {dt:.1f}s "
+                  f"({width*height/dt/1e6:.2f} Mpaths/s total)", flush=True)
+            assert dev < 2e-2, f"estimator mismatch on mesh {shape} {alg}"
+        results["meshes"][shape] = entry
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

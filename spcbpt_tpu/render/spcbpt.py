@@ -262,7 +262,10 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
     """The CONNECTION_N sampling/eval loop; returns (sum contribution, state)."""
     n = eye_ratio.shape[0]
     total = jnp.zeros((n, 3))
+    if connection_n == 0:
+        return total, state
     eye_for_conn = _ConnEye(mid, eye_ratio)
+    draws = []
     for _ in range(connection_n):
         if uniform:
             idx, pmf2, ok_seg, state = sample_uniform(sampler, state)
@@ -275,11 +278,19 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
             else:
                 idx, pmf2, ok_seg, state = sample_second_stage(
                     sampler, lsub, state)
-        lv = sampler.vertices.take(idx)
-        target = jnp.where(lv.is_env[..., None],
-                           mid.position - 10.0 * _env_r(ts) * lv.normal,
-                           lv.position)
-        vis = visibility(ts, mid.position, target, SCENE_EPSILON)
+        draws.append((idx, pmf1, pmf2, ok_seg))
+    # ONE occlusion wavefront for all connection_n draws: per-call traversal
+    # overhead (entry prep + kernel dispatch) amortizes 3x
+    lv_all = sampler.vertices.take(
+        jnp.concatenate([d[0] for d in draws]))
+    pos_all = jnp.tile(mid.position, (connection_n, 1))
+    target_all = jnp.where(lv_all.is_env[..., None],
+                           pos_all - 10.0 * _env_r(ts) * lv_all.normal,
+                           lv_all.position)
+    vis_all = visibility(ts, pos_all, target_all, SCENE_EPSILON)
+    for k, (idx, pmf1, pmf2, ok_seg) in enumerate(draws):
+        lv = jax.tree_util.tree_map(lambda a: a[k * n:(k + 1) * n], lv_all)
+        vis = vis_all[k * n:(k + 1) * n]
         pmf = sampler.path_count.astype(jnp.float32) * pmf1 * pmf2
         contrib = connect_vertex(ts, ss, eye_for_conn, lv)
         ok = vis & ok_seg & lv.valid & (pmf > 0.0)

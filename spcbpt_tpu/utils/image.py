@@ -35,11 +35,17 @@ def write_hdr_npz(path: str, img: np.ndarray) -> None:
     np.savez_compressed(path, radiance=np.asarray(img, np.float32))
 
 
-def rel_mse(img, ref, eps: float = 1e-2) -> float:
-    """Relative MSE against a reference image (standard renderer metric)."""
+def rel_mse(img, ref, eps: float = 1e-2, discard: float = 0.0) -> float:
+    """Relative MSE against a reference image (standard renderer metric).
+    discard > 0 drops that fraction of the largest per-value errors before
+    averaging (the SPCBPT paper's outlier/firefly protocol — hard indirect
+    scenes otherwise let a handful of fireflies dominate the metric)."""
     img = np.asarray(img, np.float64)
     ref = np.asarray(ref, np.float64)
-    d = (img - ref) ** 2 / (ref ** 2 + eps)
+    d = ((img - ref) ** 2 / (ref ** 2 + eps)).ravel()
+    if discard > 0.0:
+        k = max(1, int(len(d) * (1.0 - discard)))
+        d = np.partition(d, k - 1)[:k]
     return float(np.mean(d))
 
 
