@@ -252,3 +252,44 @@ def light_hit(ts, ss, eye_v: EyeVertices, lv_position, lv_normal, lv_flux,
                     jnp.zeros_like(eye_v.single_pdf, bool), lb)
     denom = ((weight + d_a) / jnp.maximum(pdf_b, 1e-30) * lv_pdf + d_b)
     return d_b / jnp.maximum(denom, 1e-30)
+
+
+def light_hit_env(ts, ss, eye_v: EyeVertices, ray_dir, env_flux, env_pdf,
+                  env_label) -> jnp.ndarray:
+    """rmis::light_hit_env (rmis.h:325-357): MIS weight for an eye path
+    escaping into the environment — a virtual DIRECTION light vertex with
+    rmis=1, normal=-ray_dir, flux=env radiance, singlePdf=env direction pdf
+    (incl. the 1/num_lights pick, matching the LVC env start vertices).
+
+    The reference never calls this on its miss path (__miss__BDPTVertex
+    raygen.cu:699 drops env radiance entirely, readme.md:28); we do, so
+    SPCBPT env scenes converge to PT. Directional conventions follow our
+    validated light_hit (ray_dir plays -connect_dir, the outgoing direction
+    from the eye vertex toward the light)."""
+    from ..scene import envmap as env_mod
+    flux = env_flux / jnp.maximum(env_pdf, 1e-30)[..., None]
+
+    ll_pdf_a = get_last_pdf(ts, eye_v, ray_dir)
+    fm0 = flux_multiplier_last(ts, eye_v, ray_dir)
+    weight_a = tracing_weight_eye(ts, ss, eye_v, eye_v.position)
+    d_a0 = eye_v.rmis3 * ll_pdf_a[..., None] * fm0 + weight_a[..., None]
+
+    # pdf of regenerating the eye vertex from the virtual env light
+    # (getPdf_from_light_source env branch: projectPdf * |n_l . n_e|)
+    proj = env_mod.env_project_pdf(ts.env)
+    pdf_a = proj * jnp.abs(vec.dot(ray_dir, eye_v.normal))
+    fm1 = 1.0 / proj
+    d_a = vec.float3weight(d_a0 * (pdf_a * fm1)[..., None] * flux) \
+        / jnp.maximum(eye_v.single_pdf, 1e-30)
+
+    weight = vec.float3weight(
+        connect_rate(ss, eye_v.subspace_id, env_label,
+                     jnp.ones_like(eye_v.single_pdf))[..., None] * flux)
+    weight = jnp.where(eye_v.is_brdf, 0.0, weight)
+
+    d_b = jnp.ones_like(pdf_a)  # virtual vertex rmis = 1
+    lb = vec.normalize(eye_v.last_position - eye_v.position)
+    pdf_b = get_pdf(ts, eye_v, eye_v.position + ray_dir, -ray_dir,
+                    jnp.ones_like(eye_v.single_pdf, bool), lb)
+    denom = ((weight + d_a) / jnp.maximum(pdf_b, 1e-30) * env_pdf + d_b)
+    return d_b / jnp.maximum(denom, 1e-30)

@@ -66,7 +66,11 @@ def connect_vertex(ts: TraceScene, ss: classify.SubspaceState,
     la_dir = vec.normalize(eye_v.last_position - eye_v.position)
     lb_dir = vec.normalize(light_v.last_position - light_v.position)
 
-    fa = rmis._eval_at(ts, eye_v, -conn_dir_e, la_dir)
+    # eye->light direction: -connect_dir for surface vertices; for env
+    # vertices conn_dir_e already points surface->env (negating it would
+    # put the eval in the wrong hemisphere and zero all env connections)
+    to_light = jnp.where(dir_conn[..., None], conn_dir_e, -conn_dir_e)
+    fa = rmis._eval_at(ts, eye_v, to_light, la_dir)
     fb = rmis._eval_at(ts, light_v, connect_dir, lb_dir)
     # origin (on-light) vertices: fb = [facing ? 1 : 0] (raygen.cu:275-287)
     facing = vec.dot(light_v.normal, -connect_dir) <= 0.0
@@ -160,6 +164,25 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
             emit = ratio_l * w_hit[..., None]
             result = c["result"] + jnp.where((hit_light & front)[..., None],
                                              vec.scrub(emit), 0.0)
+
+            # ---- env escape: virtual direction-light hit ----
+            # (beyond reference parity: __miss__BDPTVertex raygen.cu:699
+            # drops this; we weight it against env LVC connections with
+            # rmis.light_hit_env so env scenes converge to PT)
+            if ts.has_env:
+                from ..scene import envmap as env_mod
+                env_rad = env_mod.env_color(ts.env, d)
+                ratio_env = jnp.where((last.depth == 0)[..., None],
+                                      c["ratio"],
+                                      c["pending_f"] * c["ratio"]) \
+                    * (step * env_rad)
+                e_pdf = env_mod.env_pdf(ts.env, d) / ts.num_lights
+                w_env = rmis.light_hit_env(ts, ss, last, d, env_rad, e_pdf,
+                                           env_mod.env_label(ts.env, d))
+                w_env = jnp.where(c["depth"] == 0, 1.0, w_env)
+                result = result + jnp.where(
+                    miss[..., None],
+                    vec.scrub(ratio_env * w_env[..., None]), 0.0)
 
             # ---- new eye vertex (hit_program.cu:246-340) ----
             pdf_g = cos_mid_l * cos_last * inv_t2

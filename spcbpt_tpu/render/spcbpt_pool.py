@@ -114,6 +114,21 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
         result = c["result"] + jnp.where((hit_light & front)[..., None],
                                          vec.scrub(emit), 0.0)
 
+        # env escape with MIS vs env-LVC connections (render/spcbpt.py)
+        if ts.has_env:
+            from ..scene import envmap as env_mod
+            env_rad = env_mod.env_color(ts.env, d)
+            ratio_env = jnp.where((last.depth == 0)[..., None],
+                                  c["ratio"],
+                                  c["pending_f"] * c["ratio"]) \
+                * (step * env_rad)
+            e_pdf = env_mod.env_pdf(ts.env, d) / ts.num_lights
+            w_env = rmis.light_hit_env(ts, ss, last, d, env_rad, e_pdf,
+                                       env_mod.env_label(ts.env, d))
+            w_env = jnp.where(c["depth"] == 0, 1.0, w_env)
+            result = result + jnp.where(
+                miss[..., None], vec.scrub(ratio_env * w_env[..., None]), 0.0)
+
         # new eye vertex
         pdf_g = cos_mid_l * cos_last * inv_t2
         ratio_mid = jnp.where((last.depth == 0)[..., None],

@@ -93,3 +93,39 @@ def test_env_lit_floor(env_scene):
     assert mean[0] > mean[1] > mean[2] > 0.05, mean
     ratio = mean / mean[0]
     np.testing.assert_allclose(ratio, [1.0, 180 / 200, 150 / 200], atol=0.08)
+
+
+def test_env_spcbpt_matches_pt(env_scene):
+    """SPCBPT-family env completeness (beyond reference parity — the
+    reference drops env radiance on its SPCBPT miss path, raygen.cu:699):
+    BDPT-uniform with env escape + env-LVC connections must estimate the
+    same image as PT."""
+    import jax
+    from spcbpt_tpu.render import light_trace, lvc, pt, spcbpt
+    from spcbpt_tpu.render.common import accumulate
+    from spcbpt_tpu.scene.scene import load_trace_scene
+    from spcbpt_tpu.train import classify
+
+    ts, desc, cam = load_trace_scene(env_scene)
+    eye, U, V, W = cam.uvw()
+    ss = classify.untrained_state()
+    W_ = H_ = 24
+    spp = 24
+    lt = jax.jit(lambda f: light_trace.trace_light_paths(ts, ss, 2048, f,
+                                                         max_depth=6))
+    build = jax.jit(lvc.build_sampler)
+    acc_pt = jnp.zeros((W_ * H_, 3))
+    acc_bd = jnp.zeros((W_ * H_, 3))
+    for s in range(spp):
+        acc_pt = accumulate(acc_pt, pt.render_frame_jit(
+            ts, eye, U, V, W, W_, H_, s, 6), s)
+        sampler = build(lt(s))
+        acc_bd = accumulate(acc_bd, spcbpt.render_frame_jit(
+            ts, ss, sampler, eye, U, V, W, W_, H_, s,
+            max_depth=6, uniform=True), s)
+    a = np.asarray(acc_pt)
+    b = np.asarray(acc_bd)
+    assert np.isfinite(b).all()
+    assert b.mean() > 0.01
+    ratio = b.mean(0) / a.mean(0)
+    assert (np.abs(ratio - 1.0) < 0.15).all(), ratio
