@@ -34,6 +34,8 @@ def main(argv=None):
     p.add_argument("--light-depth", type=int, default=8)
     p.add_argument("--train-samples", type=int, default=200_000)
     p.add_argument("--q-samples", type=int, default=None)
+    p.add_argument("--second-stage", default="auto",
+                   choices=["auto", "mixture", "uniform", "weighted"])
     p.add_argument("--discard", type=float, default=0.001,
                    help="fraction of largest per-value errors dropped from "
                         "relMSE (firefly protocol; 0 disables)")
@@ -141,6 +143,12 @@ def main(argv=None):
                 return accumulate(acc, fs / jnp.maximum(ct[:, None], 1), s)
 
         acc = jnp.zeros((width * height, 3))
+        if alg == "spcbpt" and ss.trained:
+            if args.second_stage == "auto":
+                print(f"[bench] second stage '{ss.second_stage}' "
+                      f"(trained selection)", flush=True)
+            else:
+                ss = ss.replace(second_stage=args.second_stage)
         # warm up / compile outside the timed loop
         acc = one(0, acc)
         jax.block_until_ready(acc)

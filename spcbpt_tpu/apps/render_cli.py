@@ -144,6 +144,8 @@ def main(argv=None):
         build = jax.jit(lvc.build_sampler)
         fsum = jnp.zeros((width * height, 3))
         count = jnp.zeros((width * height,), jnp.int32)
+        if args.alg == "spcbpt" and ss.trained:
+            print(f"[render] second stage '{ss.second_stage}'", flush=True)
         for s in range(spp):
             t_lt = time.time()
             sampler = build(lt_fn(s + args.seed + 7919))

@@ -26,7 +26,10 @@ def save_subspace_state(path: str, ss: classify.SubspaceState,
         q=np.asarray(ss.q),
         cmf_gamma=np.asarray(ss.cmf_gamma),
         trained=np.asarray(ss.trained),
+        second_stage=np.asarray(ss.second_stage),
     )
+    if ss.inv_occ is not None:
+        arrays["inv_occ"] = np.asarray(ss.inv_occ)
     if ss.alias_prob is not None:
         arrays["alias_prob"] = np.asarray(ss.alias_prob)
         arrays["alias_idx"] = np.asarray(ss.alias_idx)
@@ -48,8 +51,12 @@ def load_subspace_state(path: str) -> classify.SubspaceState:
         diag2=jnp.asarray(z["light_diag2"]))
     alias_prob = jnp.asarray(z["alias_prob"]) if "alias_prob" in z else None
     alias_idx = jnp.asarray(z["alias_idx"]) if "alias_idx" in z else None
+    inv_occ = jnp.asarray(z["inv_occ"]) if "inv_occ" in z else None
+    second = str(z["second_stage"]) if "second_stage" in z else "mixture"
     return classify.SubspaceState(eye=eye, light=light,
                                   q=jnp.asarray(z["q"]),
                                   cmf_gamma=jnp.asarray(z["cmf_gamma"]),
                                   alias_prob=alias_prob, alias_idx=alias_idx,
-                                  trained=bool(z["trained"]))
+                                  inv_occ=inv_occ,
+                                  trained=bool(z["trained"]),
+                                  second_stage=second)

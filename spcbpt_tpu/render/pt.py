@@ -32,10 +32,11 @@ from ..utils import vec
 from . import common
 
 
-def _nee(ts: TraceScene, geom, v_dir, throughput, state):
+def _nee(ts: TraceScene, geom, v_dir, throughput, state, sort=None):
     """Next-event estimation at a surface hit (hit_program.cu:462-525).
     Returns (contribution, state); contribution already includes the
-    visibility test (the reference defers the shadow ray to raygen)."""
+    visibility test (the reference defers the shadow ray to raygen).
+    sort=False skips the traversal-internal ray sort (for presorted pools)."""
     ls, state = lights_mod.sample_light(ts, state)
     P = geom["P"]
     N = geom["Ns"]
@@ -82,7 +83,7 @@ def _nee(ts: TraceScene, geom, v_dir, throughput, state):
     seg_dir = seg / seg_len[..., None]
     occluded = trace_any(ts, P, seg_dir,
                          jnp.full_like(seg_len, SCENE_EPSILON),
-                         seg_len - SCENE_EPSILON)
+                         seg_len - SCENE_EPSILON, sort=sort)
     contrib = jnp.where((ok & ~occluded)[..., None], contrib, 0.0)
     return vec.scrub(contrib), state
 

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from ..config import MIN_RR_RATE, PT_MAX_DEPTH, SCENE_EPSILON
 from ..ops import bsdf as bsdf_mod
 from ..scene import envmap as env_mod
-from ..scene.scene import TraceScene, local_geometry, trace_closest
+from ..scene.scene import (TraceScene, local_geometry, trace_closest,
+                           wavefront_key)
 from ..utils import rng as rng_mod
 from ..utils import vec
 from .pt import _nee
@@ -75,11 +76,21 @@ def render_pool(ts: TraceScene, cam_uvw, width: int, height: int,
             count=jnp.zeros((n_pixels,), jnp.int32),
         )
 
+    # presort the lane state by the wavefront coherence key once per bounce
+    # (trace calls then skip their internal argsort + output scatter)
+    presort = wavefront_key(ts, jnp.zeros((1, 3)), jnp.ones((1, 3))) is not None
+    lane_keys = ("o", "d", "state", "pixel", "throughput", "result",
+                 "bsdf_pdf", "depth", "alive")
+
     def cond(c):
         return jnp.any(c["alive"]) | (c["next_sample"] < total)
 
     def body(c):
-        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True)
+        if presort:
+            perm = jnp.argsort(wavefront_key(ts, c["o"], c["d"]))
+            c = dict(c, **{k: c[k][perm] for k in lane_keys})
+        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True,
+                            sort=False if presort else None)
         live = c["alive"]
         miss = ~hit.valid & live
         geom = local_geometry(ts, hit, c["o"], c["d"])
@@ -104,7 +115,8 @@ def render_pool(ts: TraceScene, cam_uvw, width: int, height: int,
                                               emit, 0.0))
 
         v_dir = -c["d"]
-        nee, state2 = _nee(ts, geom, v_dir, c["throughput"], c["state"])
+        nee, state2 = _nee(ts, geom, v_dir, c["throughput"], c["state"],
+                           sort=False if presort else None)
         result = result + jnp.where(hit_surf[..., None], nee, 0.0)
 
         rr = bsdf_mod.rr_rate(geom["base_color"], MIN_RR_RATE)

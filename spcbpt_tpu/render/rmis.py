@@ -45,7 +45,25 @@ class EyeVertices:
 
 
 def connect_rate(ss: classify.SubspaceState, eye_label, light_label, lum):
-    """connectRate_SOL (cuProg.h:70-78)."""
+    """Connection-strategy weight, calibrated to the active second stage.
+
+    The weight must track the ACTUAL sampling density of the two-stage
+    sampler (pmf1 * pmf2 * path_count * N); a mismatched weight is still
+    unbiased but blows up variance exactly where Gamma is well-trained
+    (measured 5-8x relMSE on the interior scene):
+      "weighted" (reference connectRate_SOL cuProg.h:70-78):
+          Gamma/Q * lum * N         (pmf2 = flux/F_l, Q ~ F_l/paths)
+      "uniform":
+          Gamma * inv_occ * N       (pmf2 = 1/n_l, no flux factor)
+      "mixture" (default):
+          Gamma * (inv_occ + lum/Q)/2 * N"""
+    from ..config import NUM_SUBSPACE
+    if ss.trained and ss.inv_occ is not None             and ss.second_stage in ("uniform", "mixture"):
+        l = jnp.clip(light_label, 0, NUM_SUBSPACE - 1)
+        g = classify.gamma_block(ss, eye_label, light_label)
+        if ss.second_stage == "uniform":
+            return g * ss.inv_occ[l] * CONNECTION_N
+        return (g * 0.5 * (ss.inv_occ[l] + lum / ss.q[l]) * CONNECTION_N)
     return classify.gamma_ss(ss, eye_label, light_label) * lum * CONNECTION_N
 
 
@@ -168,9 +186,8 @@ def general_connection(ts, ss, eye_v: EyeVertices, light_v) -> jnp.ndarray:
     d_a = vec.float3weight(d_a0 * pdf_a[..., None] * fm1 * flux) \
         / jnp.maximum(eye_v.single_pdf, 1e-30)
 
-    weight = vec.float3weight(
-        connect_rate(ss, eye_v.subspace_id, light_v.subspace_id,
-                     jnp.ones_like(eye_v.single_pdf))[..., None] * flux)
+    weight = connect_rate(ss, eye_v.subspace_id, light_v.subspace_id,
+                          vec.float3weight(flux))
 
     ll_pdf_b = get_last_pdf(ts, light_v, connect_dir)
     weight_b = tracing_weight_light(ts, ss, light_v, eye_v.position)
@@ -203,9 +220,8 @@ def connection_light_source(ts, ss, eye_v: EyeVertices, light_v) -> jnp.ndarray:
     d_a = vec.float3weight(d_a0 * (pdf_a * fm1)[..., None] * flux) \
         / jnp.maximum(eye_v.single_pdf, 1e-30)
 
-    weight = vec.float3weight(
-        connect_rate(ss, eye_v.subspace_id, light_v.subspace_id,
-                     jnp.ones_like(eye_v.single_pdf))[..., None] * flux)
+    weight = connect_rate(ss, eye_v.subspace_id, light_v.subspace_id,
+                          vec.float3weight(flux))
 
     d_b0 = light_v.rmis
     lb = vec.normalize(eye_v.last_position - eye_v.position)
@@ -241,9 +257,8 @@ def light_hit(ts, ss, eye_v: EyeVertices, lv_position, lv_normal, lv_flux,
     d_a = vec.float3weight(d_a0 * (pdf_a * fm1)[..., None] * flux) \
         / jnp.maximum(eye_v.single_pdf, 1e-30)
 
-    weight = vec.float3weight(
-        connect_rate(ss, eye_v.subspace_id, lv_subspace,
-                     jnp.ones_like(eye_v.single_pdf))[..., None] * flux)
+    weight = connect_rate(ss, eye_v.subspace_id, lv_subspace,
+                          vec.float3weight(flux))
     weight = jnp.where(eye_v.is_brdf, 0.0, weight)
 
     d_b = jnp.ones_like(pdf_a)  # virtual vertex rmis = 1
@@ -282,9 +297,8 @@ def light_hit_env(ts, ss, eye_v: EyeVertices, ray_dir, env_flux, env_pdf,
     d_a = vec.float3weight(d_a0 * (pdf_a * fm1)[..., None] * flux) \
         / jnp.maximum(eye_v.single_pdf, 1e-30)
 
-    weight = vec.float3weight(
-        connect_rate(ss, eye_v.subspace_id, env_label,
-                     jnp.ones_like(eye_v.single_pdf))[..., None] * flux)
+    weight = connect_rate(ss, eye_v.subspace_id, env_label,
+                          vec.float3weight(flux))
     weight = jnp.where(eye_v.is_brdf, 0.0, weight)
 
     d_b = jnp.ones_like(pdf_a)  # virtual vertex rmis = 1

@@ -30,7 +30,8 @@ from ..utils import rng as rng_mod
 from ..utils import vec
 from . import common, rmis
 from .lvc import (LVCSampler, sample_first_stage, sample_second_stage,
-                  sample_second_stage_uniform, sample_uniform)
+                  sample_second_stage_mixture, sample_second_stage_uniform,
+                  sample_uniform)
 from .rmis import EyeVertices
 
 
@@ -101,7 +102,7 @@ def connect_vertex(ts: TraceScene, ss: classify.SubspaceState,
 def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
                      sampler: LVCSampler, max_depth: int = SUBPATH_MAX_DEPTH,
                      connection_n: int = CONNECTION_N, uniform: bool = False,
-                     second_stage: str = "uniform", record: bool = False):
+                     second_stage=None, record: bool = False):
     """Returns f(origins, dirs, rng_state) -> (N, 3) one SPCBPT sample/lane.
 
     record=True additionally returns the per-depth eye vertices (the scan's
@@ -278,8 +279,8 @@ def _env_r(ts):
 
 def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
                  connection_n: int, uniform: bool,
-                 second_stage: str = "uniform"):
-    # second_stage="uniform" (default): O(1) uniform-in-subspace vertex pick,
+                 second_stage=None, sort=None):
+    # second_stage=None (default): O(1) uniform-in-subspace vertex pick,
     # 1.48x faster frames at ~3% relMSE on the glossy A/B — equal-time win.
     # "weighted" = the reference's flux-weighted vertex CMF (cuProg.h:268).
     """The CONNECTION_N sampling/eval loop; returns (sum contribution, state)."""
@@ -287,6 +288,10 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
     total = jnp.zeros((n, 3))
     if connection_n == 0:
         return total, state
+    if second_stage is None:
+        # weights (rmis.connect_rate) key off the state; keep sampling in
+        # lockstep so the MIS calibration always matches the sampler
+        second_stage = ss.second_stage if ss.trained else "uniform"
     eye_for_conn = _ConnEye(mid, eye_ratio)
     draws = []
     for _ in range(connection_n):
@@ -297,6 +302,9 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
             lsub, pmf1, state = sample_first_stage(ss, mid.subspace_id, state)
             if second_stage == "uniform":
                 idx, pmf2, ok_seg, state = sample_second_stage_uniform(
+                    sampler, lsub, state)
+            elif second_stage == "mixture":
+                idx, pmf2, ok_seg, state = sample_second_stage_mixture(
                     sampler, lsub, state)
             else:
                 idx, pmf2, ok_seg, state = sample_second_stage(
@@ -310,7 +318,7 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
     target_all = jnp.where(lv_all.is_env[..., None],
                            pos_all - 10.0 * _env_r(ts) * lv_all.normal,
                            lv_all.position)
-    vis_all = visibility(ts, pos_all, target_all, SCENE_EPSILON)
+    vis_all = visibility(ts, pos_all, target_all, SCENE_EPSILON, sort=sort)
     for k, (idx, pmf1, pmf2, ok_seg) in enumerate(draws):
         lv = jax.tree_util.tree_map(lambda a: a[k * n:(k + 1) * n], lv_all)
         vis = vis_all[k * n:(k + 1) * n]

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from ..config import CONNECTION_N, MIN_RR_RATE, SCENE_EPSILON
 from ..ops import bsdf as bsdf_mod
 from ..ops import lights as lights_mod
-from ..scene.scene import TraceScene, local_geometry, trace_closest
+from ..scene.scene import (TraceScene, local_geometry, trace_closest,
+                           wavefront_key)
 from ..train import classify
 from ..utils import rng as rng_mod
 from ..utils import vec
@@ -30,7 +31,7 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
                 sampler: LVCSampler, cam_uvw, width: int, height: int,
                 spp: int, subframe0=0, n_pool: int = 1 << 16,
                 max_depth: int = 16, connection_n: int = CONNECTION_N,
-                uniform: bool = False, second_stage: str = "uniform"):
+                uniform: bool = False, second_stage=None):
     """Returns (film_sum (W*H, 3), counts (W*H,))."""
     eye_p, U, V, W = [jnp.asarray(x, jnp.float32) for x in cam_uvw]
     n_pixels = width * height
@@ -76,12 +77,21 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
                  count=jnp.zeros((n_pixels,), jnp.int32))
         return c
 
+    presort = wavefront_key(ts, jnp.zeros((1, 3)), jnp.ones((1, 3))) is not None
+    lane_keys = ("o", "d", "state", "ratio", "pending_f", "pending_single",
+                 "result", "depth", "pixel", "alive")
+
     def cond(c):
         return jnp.any(c["alive"]) | (c["next_sample"] < total)
 
     def body(c):
+        if presort:
+            perm = jnp.argsort(wavefront_key(ts, c["o"], c["d"]))
+            c = dict(c, **{k: c[k][perm] for k in lane_keys},
+                     v=jax.tree_util.tree_map(lambda a: a[perm], c["v"]))
         last = c["v"]
-        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True)
+        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True,
+                            sort=False if presort else None)
         geom = local_geometry(ts, hit, c["o"], c["d"])
         live = c["alive"]
         miss = ~hit.valid & live
@@ -153,7 +163,8 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
 
         conn_total, state2 = _connections(
             ts, ss, sampler, mid, ratio_mid, c["state"],
-            connection_n, uniform, second_stage)
+            connection_n, uniform, second_stage,
+            sort=False if presort else None)
         result = result + jnp.where(hit_surf[..., None],
                                     conn_total / connection_n, 0.0)
 
@@ -230,7 +241,7 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
 def render_pool_jit(ts, ss, sampler, eye, U, V, W, width, height, spp,
                     subframe0=0, n_pool=1 << 16, max_depth=16,
                     connection_n=CONNECTION_N, uniform=False,
-                    second_stage="uniform"):
+                    second_stage=None):
     return render_pool(ts, ss, sampler, (eye, U, V, W), width, height, spp,
                        subframe0, n_pool, max_depth, connection_n, uniform,
                        second_stage)

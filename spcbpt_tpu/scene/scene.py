@@ -121,8 +121,22 @@ class TraceScene:
 # tracing entry points (the two "ray types" of optixPathTracer.h:202-209)
 # ---------------------------------------------------------------------------
 
+def wavefront_key(ts: TraceScene, origins, dirs):
+    """Coherence sort key for a wavefront, or None when the active traversal
+    mode has no use for sorted rays (brute/bvh). Pool renderers presort their
+    whole lane state by this once per bounce and pass sort=False to the trace
+    calls (saves the per-call argsort + output scatter)."""
+    cs = ts.clusters_walk if ts.mode == "walk" else (
+        ts.clusters if ts.mode == "tile" else None)
+    if cs is None:
+        return None
+    return tile_trace.ray_sort_key(cs.cmin, cs.cmax, origins, dirs)
+
+
 def trace_closest(ts: TraceScene, origins, dirs, tmin, tmax,
-                  cull_backface: bool = True) -> intersect.Hit:
+                  cull_backface: bool = True,
+                  sort: bool | None = None) -> intersect.Hit:
+    do_sort = SORT_RAYS if sort is None else sort
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), origins.shape[:-1])
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), origins.shape[:-1])
     if ts.mode == "brute":
@@ -132,18 +146,20 @@ def trace_closest(ts: TraceScene, origins, dirs, tmin, tmax,
     if ts.mode == "walk":
         return ray_walk.walk_closest(ts.clusters_walk, origins, dirs,
                                      tmin, tmax, cull_backface,
-                                     sort_rays=SORT_RAYS)
+                                     sort_rays=do_sort)
     if ts.mode == "tile":
         return tile_trace.tile_closest(ts.clusters, origins, dirs, tmin, tmax,
                                        cull_backface, tile=TILE_LANES,
-                                       sort_rays=SORT_RAYS)
+                                       sort_rays=do_sort)
     return traverse.bvh_closest(
         origins, dirs, tmin, tmax,
         ts.bvh_min, ts.bvh_max, ts.bvh_skip, ts.bvh_leaf_start,
         ts.bvh_leaf_count, ts.tri_p0, ts.tri_e1, ts.tri_e2, cull_backface)
 
 
-def trace_any(ts: TraceScene, origins, dirs, tmin, tmax):
+def trace_any(ts: TraceScene, origins, dirs, tmin, tmax,
+              sort: bool | None = None):
+    do_sort = SORT_RAYS if sort is None else sort
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), origins.shape[:-1])
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), origins.shape[:-1])
     if ts.mode == "brute":
@@ -152,23 +168,25 @@ def trace_any(ts: TraceScene, origins, dirs, tmin, tmax):
             chunk=min(512, max(8, ts.num_tris)))
     if ts.mode == "walk":
         return ray_walk.walk_any(ts.clusters_walk, origins, dirs, tmin, tmax,
-                                 sort_rays=SORT_RAYS)
+                                 sort_rays=do_sort)
     if ts.mode == "tile":
         return tile_trace.tile_any(ts.clusters, origins, dirs, tmin, tmax,
-                                   tile=TILE_LANES, sort_rays=SORT_RAYS)
+                                   tile=TILE_LANES, sort_rays=do_sort)
     return traverse.bvh_any(
         origins, dirs, tmin, tmax,
         ts.bvh_min, ts.bvh_max, ts.bvh_skip, ts.bvh_leaf_start,
         ts.bvh_leaf_count, ts.tri_p0, ts.tri_e1, ts.tri_e2)
 
 
-def visibility(ts: TraceScene, pos_a, pos_b, eps: float = 1e-3):
+def visibility(ts: TraceScene, pos_a, pos_b, eps: float = 1e-3,
+               sort: bool | None = None):
     """True if the segment a->b is unoccluded (reference visibilityTest,
     cuProg.h:463-487)."""
     d = pos_b - pos_a
     dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-30))
     dirs = d / dist[..., None]
-    occ = trace_any(ts, pos_a, dirs, jnp.full_like(dist, eps), dist - eps)
+    occ = trace_any(ts, pos_a, dirs, jnp.full_like(dist, eps), dist - eps,
+                    sort=sort)
     return ~occ
 
 

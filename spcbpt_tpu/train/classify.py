@@ -42,7 +42,21 @@ class SubspaceState:
     # the reference's per-thread CMF binary search, cuProg.h:290-302)
     alias_prob: jnp.ndarray = None   # (NUM_SUBSPACE, NUM_SUBSPACE)
     alias_idx: jnp.ndarray = None    # (NUM_SUBSPACE, NUM_SUBSPACE) int32
+    # per-subspace paths/vertices estimate (training-time): the calibrated
+    # connection-strategy weight for a uniform-in-subspace second stage is
+    # Gamma(e,l) * inv_occ(l) * CONNECTION_N — the actual sampling density
+    # pmf1 * (1/n_l) * path_count with n_l ~ path_count * occ(l). The
+    # reference's Gamma*flux/Q form assumes the flux-weighted second stage
+    # (cuProg.h:70-78 + 268-288); using it with a uniform second stage
+    # miscalibrates MIS exactly where Gamma is well-trained (measured 5x
+    # relMSE blowup on the interior scene).
+    inv_occ: jnp.ndarray = None      # (NUM_SUBSPACE,)
     trained: bool = struct.field(pytree_node=False, default=False)
+    # which second-stage sampler this state is calibrated for:
+    # "mixture" (default; defensive 50/50 uniform+flux), "uniform", or
+    # "weighted" (reference parity). rmis.connect_rate and the renderers
+    # derive their behavior from this so weights always match sampling.
+    second_stage: str = struct.field(pytree_node=False, default="mixture")
 
 
 def dummy_classifier(n_labels: int = 1) -> Classifier:

@@ -127,13 +127,16 @@ def preprocess(ts: TraceScene, cam_uvw, width: int, height: int,
         ts, ss_trees, lt_paths, f, max_depth=lt_depth))
     qb_fn = jax.jit(qgamma.q_batch)
     q_mean = jnp.zeros((NUM_SUBSPACE,))
+    occ_total = jnp.zeros((NUM_SUBSPACE,))
     acc_paths = jnp.asarray(0, jnp.int32)
     f = 0
     while int(acc_paths) < cfg.target_q_samples and f < 200:
-        qs, pc = qb_fn(lt_fn(f + 7777))
+        qs, oc, pc = qb_fn(lt_fn(f + 7777))
         q_mean, acc_paths = qgamma.q_update(q_mean, acc_paths, qs, pc)
+        occ_total = occ_total + oc
         f += 1
     q = qgamma.q_finalize(q_mean)
+    inv_occ = qgamma.inv_occ_finalize(occ_total, acc_paths)
     stats.q_paths = int(acc_paths)
     stats.seconds["q"] = time.time() - t0
 
@@ -161,10 +164,17 @@ def preprocess(ts: TraceScene, cam_uvw, width: int, height: int,
     mixed = np.asarray(gamma) * (1.0 - CONSERVATIVE_RATE) \
         + CONSERVATIVE_RATE / NUM_SUBSPACE
     aprob, aidx = classify.build_alias(mixed)
+    from ..render.autotune import select_second_stage
+    second, sel_stats = select_second_stage(np.asarray(q),
+                                            np.asarray(inv_occ))
+    if verbose:
+        print(f"[train] second stage '{second}' "
+              f"(flux DR {sel_stats['flux_dr']:.2f})", flush=True)
     ss = classify.SubspaceState(eye=eye_cls, light=light_cls, q=q,
                                 cmf_gamma=qgamma.gamma_to_cmf(gamma),
                                 alias_prob=jnp.asarray(aprob),
                                 alias_idx=jnp.asarray(aidx),
-                                trained=True)
+                                inv_occ=inv_occ,
+                                trained=True, second_stage=second)
     stats.seconds["total"] = time.time() - t_all
     return ss, stats

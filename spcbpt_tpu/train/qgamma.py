@@ -27,15 +27,17 @@ Q_INF = jnp.float32(3.4e38)
 
 
 def q_batch(lv: LightVertices):
-    """Per-subspace summed weight + path count for one light-trace launch.
-    Returns (q_sum (NUM_SUBSPACE,), path_count ())."""
+    """Per-subspace summed weight, vertex counts, path count for one
+    light-trace launch. Returns (q_sum (N,), occ_count (N,), path_count ())."""
     flat = reshape_flat(lv)
     w = vec.float3weight(flat.ratio)
     w = jnp.where(jnp.isnan(w) | jnp.isinf(w) | ~flat.valid, 0.0, w)
-    q = jnp.zeros(NUM_SUBSPACE, jnp.float32).at[
-        jnp.clip(flat.subspace_id, 0, NUM_SUBSPACE - 1)].add(w)
+    lab = jnp.clip(flat.subspace_id, 0, NUM_SUBSPACE - 1)
+    q = jnp.zeros(NUM_SUBSPACE, jnp.float32).at[lab].add(w)
+    occ = jnp.zeros(NUM_SUBSPACE, jnp.float32).at[lab].add(
+        flat.valid.astype(jnp.float32))
     paths = jnp.sum(jnp.where(flat.valid & (flat.depth == 0), 1, 0))
-    return q, paths
+    return q, occ, paths
 
 
 def q_update(q_mean, acc_paths, q_sum, batch_paths):
@@ -51,6 +53,15 @@ def q_update(q_mean, acc_paths, q_sum, batch_paths):
 def q_finalize(q_mean):
     """Q_zero_handle: zero -> FLT_MAX so 1/Q ~ 0."""
     return jnp.where(q_mean == 0.0, Q_INF, q_mean)
+
+
+def inv_occ_finalize(occ_total, paths_total):
+    """paths/vertices per subspace: the uniform-second-stage weight
+    normalizer (classify.SubspaceState.inv_occ). Empty subspaces get 0 —
+    the strategy cannot sample them (n_l = 0 draws are rejected)."""
+    paths = jnp.maximum(paths_total.astype(jnp.float32), 1.0)
+    return jnp.where(occ_total > 0.0, paths / jnp.maximum(occ_total, 1.0),
+                     0.0)
 
 
 def sample_reweight(contri, sample_pdf, pixel, width: int, height: int,
