@@ -144,3 +144,24 @@ def test_spcbpt_pool_matches_naive(cornell):
     cnt = np.asarray(count)
     assert (cnt == 1).all()
     np.testing.assert_allclose(np.asarray(fsum), np.asarray(img), atol=1e-4)
+
+
+def test_pt_pool_presort_matches_brute():
+    """The pool's per-bounce lane presorting (active in tile/walk modes) is
+    estimator-invariant: same scene forced into tile mode must reproduce the
+    brute-mode render to float tolerance."""
+    from spcbpt_tpu.render import pt_pool
+    from spcbpt_tpu.scene.scene import load_trace_scene
+    ts_b, _, cam = load_trace_scene(default_scene_path())
+    ts_t, _, _ = load_trace_scene(default_scene_path(), mode="tile")
+    assert ts_t.mode == "tile" and ts_t.clusters is not None
+    cam.aspect = 1.0
+    eye, U, V, W = cam.uvw()
+    W_ = H_ = 16
+    fb, cb = pt_pool.render_pool_jit(ts_b, eye, U, V, W, W_, H_, 2, 3,
+                                     n_pool=256, max_depth=5)
+    ft, ct = pt_pool.render_pool_jit(ts_t, eye, U, V, W, W_, H_, 2, 3,
+                                     n_pool=256, max_depth=5)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(ct))
+    np.testing.assert_allclose(np.asarray(ft), np.asarray(fb),
+                               rtol=1e-4, atol=1e-4)
