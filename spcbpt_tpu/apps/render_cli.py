@@ -28,7 +28,7 @@ def build_argparser():
     p = argparse.ArgumentParser(description="spcbpt_tpu renderer")
     p.add_argument("--scene", default="cornell",
                    help=".scene path, or builtin: cornell | cornell_glossy |"
-                        " interior | interior_lit")
+                        " interior | interior_lit | interior_cove")
     p.add_argument("--alg", default="spcbpt",
                    choices=["pt", "bdpt", "spcbpt"])
     p.add_argument("--spp", type=int, default=16)
@@ -64,9 +64,10 @@ def resolve_scene(name: str) -> str:
         return default_scene_path()
     if name == "cornell_glossy":
         return default_scene_path(glossy=True)
-    if name in ("interior", "interior_lit"):
+    if name in ("interior", "interior_lit", "interior_cove"):
         from ..scene.interior import default_scene_path as interior_path
-        mode = "interior" if name == "interior" else "lit"
+        mode = {"interior": "interior", "interior_lit": "lit",
+                "interior_cove": "cove"}[name]
         return interior_path(mode=mode)
     raise SystemExit(f"scene not found: {name}")
 

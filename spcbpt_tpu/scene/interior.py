@@ -279,7 +279,22 @@ def generate(root: str, scale: int = 4, mode: str = "interior") -> str:
     for g, parts in groups.items():
         _write_obj(os.path.join(d, f"{g}.obj"), parts)
 
-    if mode == "interior":
+    if mode == "cove":
+        # pure indirect: ONLY the hidden cove panel facing the ceiling —
+        # the paper's kitchen/bedroom regime where unidirectional PT has no
+        # usable NEE target anywhere in the visible rooms
+        lights = """
+light
+{
+    position 13.45 2.2 9.2
+    v1 13.45 2.2 12.8
+    v2 14.6 2.2 9.2
+    emission 160 150 120
+    type Quad
+    divLevel 8
+}
+"""
+    elif mode == "interior":
         # main panel inside the cove, facing UP (indirect-dominant), plus a
         # small visible ceiling light in the near room so PT is not hopeless
         lights = """
