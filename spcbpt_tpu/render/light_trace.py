@@ -76,9 +76,12 @@ def _get_last_pdf(ts: TraceScene, v: LightVertices, in_dir):
 def _tracing_weight_light(ts: TraceScene, ss: classify.SubspaceState,
                           last: LightVertices, mid_position):
     """rmis::tracing_weight_light (rmis.h:57-79): the connect-rate weight of
-    the strategy that connects at `last` (treated as an eye vertex)."""
-    w = (classify.gamma_ss(ss, last.eye_label, last.last_zone_id)
-         * last.last_lum * CONNECTION_N)
+    the strategy that connects at `last` (treated as an eye vertex). Uses
+    the shared rmis.connect_rate so the light-side RMIS chains stay
+    calibrated to the active second stage."""
+    from . import rmis
+    w = rmis.connect_rate(ss, last.eye_label, last.last_zone_id,
+                          last.last_lum)
     return jnp.where(last.last_brdf | last.is_brdf, 0.0, w)
 
 

@@ -33,7 +33,9 @@ class EyeVertices:
     last_position: jnp.ndarray
     single_pdf: jnp.ndarray
     last_normal_proj: jnp.ndarray
-    rmis3: jnp.ndarray           # (..., 3) RMIS_pointer_3
+    rmis3: jnp.ndarray           # (..., 3) RMIS_pointer_3 (flux-transported)
+    rmis_u: jnp.ndarray          # (...,) pdf-only chain for the flux-free
+                                 # (uniform-second-stage) strategy weights
     mat_id: jnp.ndarray
     subspace_id: jnp.ndarray
     light_label: jnp.ndarray   # light-tree label at this vertex (cached)
@@ -44,27 +46,45 @@ class EyeVertices:
     last_brdf: jnp.ndarray
 
 
-def connect_rate(ss: classify.SubspaceState, eye_label, light_label, lum):
-    """Connection-strategy weight, calibrated to the active second stage.
+def mix_coeffs(ss: classify.SubspaceState):
+    """(alpha_weighted, alpha_uniform) for the active second stage. The two
+    strategy-weight families need SEPARATE recursive transport (flux-linear
+    weights ride the fm chain, flux-free weights a pdf-only chain), so the
+    mixing happens at the combiners, not inside the recursion."""
+    if not ss.trained or ss.inv_occ is None:
+        return 1.0, 0.0
+    return {"weighted": (1.0, 0.0), "uniform": (0.0, 1.0),
+            "mixture": (0.5, 0.5)}[ss.second_stage]
 
-    The weight must track the ACTUAL sampling density of the two-stage
-    sampler (pmf1 * pmf2 * path_count * N); a mismatched weight is still
-    unbiased but blows up variance exactly where Gamma is well-trained
-    (measured 5-8x relMSE on the interior scene):
-      "weighted" (reference connectRate_SOL cuProg.h:70-78):
-          Gamma/Q * lum * N         (pmf2 = flux/F_l, Q ~ F_l/paths)
-      "uniform":
-          Gamma * inv_occ * N       (pmf2 = 1/n_l, no flux factor)
-      "mixture" (default):
-          Gamma * (inv_occ + lum/Q)/2 * N"""
+
+def rate_parts(ss: classify.SubspaceState, eye_label, light_label, lum):
+    """The two PURE strategy-weight forms (before mixing):
+      weighted (reference connectRate_SOL cuProg.h:70-78):
+          Gamma/Q * lum * N    — density of the flux-weighted second stage
+      uniform:
+          Gamma * inv_occ * N  — density of the uniform-in-subspace stage
+          (pmf1 * (1/n_l) * path_count, no flux factor)."""
     from ..config import NUM_SUBSPACE
-    if ss.trained and ss.inv_occ is not None             and ss.second_stage in ("uniform", "mixture"):
+    w = classify.gamma_ss(ss, eye_label, light_label) * lum * CONNECTION_N
+    if ss.trained and ss.inv_occ is not None:
         l = jnp.clip(light_label, 0, NUM_SUBSPACE - 1)
-        g = classify.gamma_block(ss, eye_label, light_label)
-        if ss.second_stage == "uniform":
-            return g * ss.inv_occ[l] * CONNECTION_N
-        return (g * 0.5 * (ss.inv_occ[l] + lum / ss.q[l]) * CONNECTION_N)
-    return classify.gamma_ss(ss, eye_label, light_label) * lum * CONNECTION_N
+        u = (classify.gamma_block(ss, eye_label, light_label)
+             * ss.inv_occ[l] * CONNECTION_N)
+    else:
+        u = jnp.zeros(jnp.broadcast_shapes(
+            jnp.shape(eye_label), jnp.shape(light_label)))
+    return w, u
+
+
+def connect_rate(ss: classify.SubspaceState, eye_label, light_label, lum):
+    """Mixed connection-strategy weight for the active second stage. A
+    weight that does not track the ACTUAL sampling density stays unbiased
+    but blows up variance exactly where Gamma is well-trained (measured
+    5-8x relMSE on the interior scene with the reference's flux/Q form
+    under a uniform second stage)."""
+    aw, au = mix_coeffs(ss)
+    w, u = rate_parts(ss, eye_label, light_label, lum)
+    return aw * w + au * u
 
 
 def _pdf_at(ts, v, in_dir, out_dir):
@@ -142,33 +162,49 @@ def tracing_weight_light(ts, ss, last, mid_position):
     return jnp.where(last.last_brdf | last.is_brdf, 0.0, w)
 
 
+def tracing_weight_eye_parts(ts, ss, last, mid_position, mid_is_dir=None):
+    """rmis.h:134-153: last treated as light-side connection point; lum = 1
+    for the flux-linear part (the suffix flux accumulates via the fm chain).
+    Depth-1 eye vertices weigh 0 (no t=1 light-tracing strategy). Returns
+    (flux-linear part, flux-free part)."""
+    w, u = rate_parts(ss, last.last_zone_id, last.light_label,
+                      jnp.ones_like(last.single_pdf))
+    z = last.last_brdf | last.is_brdf | (last.depth == 1)
+    return jnp.where(z, 0.0, w), jnp.where(z, 0.0, u)
+
+
 def tracing_weight_eye(ts, ss, last, mid_position, mid_is_dir=None):
-    """rmis.h:134-153: last treated as light-side connection point; lum = 1.
-    Depth-1 eye vertices weigh 0 (no t=1 light-tracing strategy). Uses the
-    light-tree label cached on the eye vertex (reference recomputes per
-    connection, rmis.h:148-151)."""
-    w = connect_rate(ss, last.last_zone_id, last.light_label,
-                     jnp.ones_like(last.single_pdf))
-    return jnp.where(last.last_brdf | last.is_brdf | (last.depth == 1), 0.0, w)
+    aw, au = mix_coeffs(ss)
+    w, u = tracing_weight_eye_parts(ts, ss, last, mid_position, mid_is_dir)
+    return aw * w + au * u
 
 
 def tracing_update_eye(ts, ss, last: EyeVertices, mid_position, mid_is_dir):
-    """rmis.h:191-203: new rmis3 for the vertex after `last`."""
+    """rmis.h:191-203: new (rmis3, rmis_u) for the vertex after `last`.
+    rmis3 transports flux-linear weights (pdf ratio x flux multiplier);
+    rmis_u transports flux-free weights (pdf ratio only) — mixing them in
+    one chain breaks the weight partition (caught by the oracle tests)."""
     in_dir = vec.normalize(mid_position - last.position)
     ll_pdf = get_last_pdf(ts, last, in_dir)
-    weight = tracing_weight_eye(ts, ss, last, mid_position, mid_is_dir)
+    w_part, u_part = tracing_weight_eye_parts(ts, ss, last, mid_position,
+                                              mid_is_dir)
     fm = flux_multiplier_last(ts, last, in_dir)
-    num = last.rmis3 * ll_pdf[..., None] * fm + weight[..., None]
-    return num / jnp.maximum(last.single_pdf, 1e-30)[..., None]
+    inv_sp = 1.0 / jnp.maximum(last.single_pdf, 1e-30)
+    num3 = last.rmis3 * ll_pdf[..., None] * fm + w_part[..., None]
+    num_u = last.rmis_u * ll_pdf + u_part
+    return num3 * inv_sp[..., None], num_u * inv_sp
 
 
 def _eye_side_D(ts, ss, eye_v, light_v, connect_dir, flux):
-    """Shared eye-side accumulator D_A of the combiners (rmis.h:219-233):
-    connect_dir points light->eye."""
+    """Shared eye-side accumulators of the combiners (rmis.h:219-233):
+    connect_dir points light->eye. Returns (flux-chain D_A0 (N,3),
+    pdf-only-chain D_A0 (N,))."""
     ll_pdf_a = get_last_pdf(ts, eye_v, -connect_dir)
     fm0 = flux_multiplier_last(ts, eye_v, -connect_dir)
-    weight_a = tracing_weight_eye(ts, ss, eye_v, light_v.position)
-    return eye_v.rmis3 * ll_pdf_a[..., None] * fm0 + weight_a[..., None]
+    w_part, u_part = tracing_weight_eye_parts(ts, ss, eye_v, light_v.position)
+    d_w = eye_v.rmis3 * ll_pdf_a[..., None] * fm0 + w_part[..., None]
+    d_u = eye_v.rmis_u * ll_pdf_a + u_part
+    return d_w, d_u
 
 
 def general_connection(ts, ss, eye_v: EyeVertices, light_v) -> jnp.ndarray:
@@ -178,13 +214,16 @@ def general_connection(ts, ss, eye_v: EyeVertices, light_v) -> jnp.ndarray:
     connect_dir = vec.normalize(connect_vec)
     flux = light_v.ratio
 
-    d_a0 = _eye_side_D(ts, ss, eye_v, light_v, connect_dir, flux)
+    aw, au = mix_coeffs(ss)
+    d_a0_w, d_a0_u = _eye_side_D(ts, ss, eye_v, light_v, connect_dir, flux)
     la = vec.normalize(light_v.last_position - light_v.position)
     pdf_a = get_pdf(ts, light_v, eye_v.position, eye_v.normal,
                     jnp.zeros_like(eye_v.single_pdf, bool), la)
     fm1 = flux_multiplier(ts, light_v, la, connect_dir)
-    d_a = vec.float3weight(d_a0 * pdf_a[..., None] * fm1 * flux) \
-        / jnp.maximum(eye_v.single_pdf, 1e-30)
+    inv_sp = 1.0 / jnp.maximum(eye_v.single_pdf, 1e-30)
+    d_a_w = vec.float3weight(d_a0_w * pdf_a[..., None] * fm1 * flux) * inv_sp
+    d_a_u = d_a0_u * pdf_a * inv_sp
+    d_a = aw * d_a_w + au * d_a_u
 
     weight = connect_rate(ss, eye_v.subspace_id, light_v.subspace_id,
                           vec.float3weight(flux))
@@ -209,7 +248,8 @@ def connection_light_source(ts, ss, eye_v: EyeVertices, light_v) -> jnp.ndarray:
                             vec.normalize(connect_vec))
     flux = light_v.ratio
 
-    d_a0 = _eye_side_D(ts, ss, eye_v, light_v, connect_dir, flux)
+    aw, au = mix_coeffs(ss)
+    d_a0_w, d_a0_u = _eye_side_D(ts, ss, eye_v, light_v, connect_dir, flux)
     pdf_a = get_pdf_from_light_source(ts, light_v, eye_v.position, eye_v.normal)
     if ts.has_env:
         from ..scene import envmap as env_mod
@@ -217,8 +257,10 @@ def connection_light_source(ts, ss, eye_v: EyeVertices, light_v) -> jnp.ndarray:
                         1.0 / env_mod.env_project_pdf(ts.env), jnp.pi)
     else:
         fm1 = jnp.full_like(pdf_a, jnp.pi)
-    d_a = vec.float3weight(d_a0 * (pdf_a * fm1)[..., None] * flux) \
-        / jnp.maximum(eye_v.single_pdf, 1e-30)
+    inv_sp = 1.0 / jnp.maximum(eye_v.single_pdf, 1e-30)
+    d_a_w = vec.float3weight(d_a0_w * (pdf_a * fm1)[..., None] * flux) * inv_sp
+    d_a_u = d_a0_u * pdf_a * inv_sp
+    d_a = aw * d_a_w + au * d_a_u
 
     weight = connect_rate(ss, eye_v.subspace_id, light_v.subspace_id,
                           vec.float3weight(flux))
@@ -242,10 +284,12 @@ def light_hit(ts, ss, eye_v: EyeVertices, lv_position, lv_normal, lv_flux,
     connect_dir = vec.normalize(connect_vec)
     flux = lv_flux / jnp.maximum(lv_pdf, 1e-30)[..., None]
 
+    aw, au = mix_coeffs(ss)
     ll_pdf_a = get_last_pdf(ts, eye_v, -connect_dir)
     fm0 = flux_multiplier_last(ts, eye_v, -connect_dir)
-    weight_a = tracing_weight_eye(ts, ss, eye_v, lv_position)
-    d_a0 = eye_v.rmis3 * ll_pdf_a[..., None] * fm0 + weight_a[..., None]
+    w_part, u_part = tracing_weight_eye_parts(ts, ss, eye_v, lv_position)
+    d_a0_w = eye_v.rmis3 * ll_pdf_a[..., None] * fm0 + w_part[..., None]
+    d_a0_u = eye_v.rmis_u * ll_pdf_a + u_part
 
     # virtual light vertex: area light from the emitter's pdf
     conn_vec2 = eye_v.position - lv_position
@@ -254,8 +298,9 @@ def light_hit(ts, ss, eye_v: EyeVertices, lv_position, lv_normal, lv_flux,
                / jnp.maximum(vec.dot(conn_vec2, conn_vec2), 1e-20))
     pdf_a = pdf_angle * angle2a
     fm1 = jnp.pi
-    d_a = vec.float3weight(d_a0 * (pdf_a * fm1)[..., None] * flux) \
-        / jnp.maximum(eye_v.single_pdf, 1e-30)
+    inv_sp = 1.0 / jnp.maximum(eye_v.single_pdf, 1e-30)
+    d_a = (aw * vec.float3weight(d_a0_w * (pdf_a * fm1)[..., None] * flux)
+           + au * d_a0_u * pdf_a) * inv_sp
 
     weight = connect_rate(ss, eye_v.subspace_id, lv_subspace,
                           vec.float3weight(flux))
@@ -284,18 +329,21 @@ def light_hit_env(ts, ss, eye_v: EyeVertices, ray_dir, env_flux, env_pdf,
     from ..scene import envmap as env_mod
     flux = env_flux / jnp.maximum(env_pdf, 1e-30)[..., None]
 
+    aw, au = mix_coeffs(ss)
     ll_pdf_a = get_last_pdf(ts, eye_v, ray_dir)
     fm0 = flux_multiplier_last(ts, eye_v, ray_dir)
-    weight_a = tracing_weight_eye(ts, ss, eye_v, eye_v.position)
-    d_a0 = eye_v.rmis3 * ll_pdf_a[..., None] * fm0 + weight_a[..., None]
+    w_part, u_part = tracing_weight_eye_parts(ts, ss, eye_v, eye_v.position)
+    d_a0_w = eye_v.rmis3 * ll_pdf_a[..., None] * fm0 + w_part[..., None]
+    d_a0_u = eye_v.rmis_u * ll_pdf_a + u_part
 
     # pdf of regenerating the eye vertex from the virtual env light
     # (getPdf_from_light_source env branch: projectPdf * |n_l . n_e|)
     proj = env_mod.env_project_pdf(ts.env)
     pdf_a = proj * jnp.abs(vec.dot(ray_dir, eye_v.normal))
     fm1 = 1.0 / proj
-    d_a = vec.float3weight(d_a0 * (pdf_a * fm1)[..., None] * flux) \
-        / jnp.maximum(eye_v.single_pdf, 1e-30)
+    inv_sp = 1.0 / jnp.maximum(eye_v.single_pdf, 1e-30)
+    d_a = (aw * vec.float3weight(d_a0_w * (pdf_a * fm1)[..., None] * flux)
+           + au * d_a0_u * pdf_a) * inv_sp
 
     weight = connect_rate(ss, eye_v.subspace_id, env_label,
                           vec.float3weight(flux))

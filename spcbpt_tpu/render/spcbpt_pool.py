@@ -146,14 +146,16 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
                               c["pending_f"] * c["ratio"]) * step
         single_mid = c["pending_single"] * pdf_g / jnp.maximum(cos_last, 1e-20)
         sub_mid = classify.label_eye(ss, geom["P"], geom["Ns"])
-        rmis3 = jnp.where((last.depth == 0)[..., None],
-                          jnp.zeros((geom["P"].shape[0], 3)),
-                          rmis.tracing_update_eye(ts, ss, last, geom["P"],
-                                                  jnp.zeros_like(hit_surf)))
+        rmis3_new, rmis_u_new = rmis.tracing_update_eye(
+            ts, ss, last, geom["P"], jnp.zeros_like(hit_surf))
+        first = last.depth == 0
+        rmis3 = jnp.where(first[..., None],
+                          jnp.zeros((geom["P"].shape[0], 3)), rmis3_new)
+        rmis_u = jnp.where(first, 0.0, rmis_u_new)
         mid = EyeVertices(
             position=geom["P"], normal=geom["Ns"], color=geom["base_color"],
             last_position=last.position, single_pdf=single_mid,
-            last_normal_proj=cos_last, rmis3=rmis3,
+            last_normal_proj=cos_last, rmis3=rmis3, rmis_u=rmis_u,
             mat_id=geom["mat_id"], subspace_id=sub_mid,
             light_label=classify.label_light(ss, geom["P"], geom["Ns"]),
             last_zone_id=last.subspace_id, depth=last.depth + 1,

@@ -28,9 +28,10 @@ MAX_LIGHT = 3  # bounces on the light chain (depth index)
 N_LANES = 400
 
 
-def _random_trained_state(ts, seed=7):
-    """A synthetic trained SubspaceState with non-trivial Gamma/Q so the
-    connect-rate terms actually exercise the subspace machinery."""
+def _random_trained_state(ts, seed=7, second_stage="weighted"):
+    """A synthetic trained SubspaceState with non-trivial Gamma/Q/inv_occ so
+    the connect-rate terms exercise the subspace machinery in every
+    second-stage calibration."""
     r = np.random.default_rng(seed)
     lo = np.asarray(jnp.min(ts.tri_p0, axis=0))
     hi = np.asarray(jnp.max(ts.tri_p0, axis=0))
@@ -48,19 +49,25 @@ def _random_trained_state(ts, seed=7):
     gamma /= gamma.sum(axis=1, keepdims=True)
     cmf = np.cumsum(gamma, axis=1).astype(np.float32)
     q = r.uniform(0.5, 2.0, size=(NUM_SUBSPACE,)).astype(np.float32)
+    inv_occ = r.uniform(0.5, 4.0, size=(NUM_SUBSPACE,)).astype(np.float32)
     return classify.SubspaceState(
         eye=rand_classifier(64, 0),
         light=rand_classifier(48, NUM_SUBSPACE_LIGHTSOURCE),
         q=jnp.asarray(q), cmf_gamma=jnp.asarray(cmf),
         alias_prob=jnp.ones((1, 1)), alias_idx=jnp.zeros((1, 1), jnp.int32),
-        trained=True)
+        inv_occ=jnp.asarray(inv_occ), trained=True,
+        second_stage=second_stage)
 
 
-@pytest.fixture(scope="module")
-def setup():
+@pytest.fixture(scope="module", params=["weighted", "uniform", "mixture"])
+def setup(request):
+    """One fixture per second-stage calibration: the cached light/eye RMIS
+    chains AND the combiners must agree with the oracle under every rate
+    form (a mismatched rate anywhere in the recursion breaks the weight
+    partition — this caught the light_trace copy of connect_rate)."""
     ts, desc, cam = load_trace_scene(default_scene_path())
     cam.aspect = 1.0
-    ss = _random_trained_state(ts)
+    ss = _random_trained_state(ts, second_stage=request.param)
     eye, U, V, W = cam.uvw()
     side = int(np.sqrt(N_LANES)) + 1
     o, d, state = camera_rays(jnp.asarray(eye), jnp.asarray(U),
@@ -213,10 +220,14 @@ def test_perturbed_rmis_cache_is_detected(setup):
     eye_v = jax.tree_util.tree_map(lambda a: a[m - 1], rec["v"])
     light_v = jax.tree_util.tree_map(lambda a: a[l], lvs)
 
-    bad_eye = eye_v.replace(rmis3=eye_v.rmis3 * 1.5 + 0.05)
+    # corrupt the chain the active mode actually transports
+    if ss.second_stage == "uniform":
+        bad_eye = eye_v.replace(rmis_u=eye_v.rmis_u * 1.5 + 0.05)
+    else:
+        bad_eye = eye_v.replace(rmis3=eye_v.rmis3 * 1.5 + 0.05)
     rel, _ = _compare(rmis.general_connection(ts, ss, bad_eye, light_v),
                       expect, valid)
-    assert rel.max() > 0.05, "perturbed eye rmis3 not detected"
+    assert rel.max() > 0.05, "perturbed eye rmis chain not detected"
 
     # light-side: use a deeper light vertex (l=2) whose rmis pointer carries
     # accumulated strategies; at l=1 it only covers the tiny pure-eye term
