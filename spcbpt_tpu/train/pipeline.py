@@ -57,11 +57,18 @@ def preprocess(ts: TraceScene, cam_uvw, width: int, height: int,
     batches = []
     total = 0
     frame = 0
-    while total < cfg.target_samples and frame < 4000:
+    # low-acceptance scenes (pure-indirect: NEE rarely connects) need
+    # thousands of launches; storing the PADDED batches held ~50 GB host RAM
+    # at 2M paths on the cove scene — compact to accepted rows per batch
+    while total < cfg.target_samples and frame < 20_000:
         b = launch(frame)
         frame += 1
-        total += int(jnp.sum(b.valid))
-        batches.append(jax.device_get(b))
+        b_host = jax.device_get(b)
+        keep = b_host.valid
+        if keep.any():
+            batches.append(type(b_host)(*[np.asarray(f)[keep]
+                                          for f in b_host]))
+            total += int(keep.sum())
         if verbose and frame % 20 == 0:
             print(f"pretrace: {total}/{cfg.target_samples} paths "
                   f"({frame} launches)")
