@@ -64,7 +64,8 @@ def main(argv=None):
     cam.aspect = width / height
     eye, U, V, W = cam.uvw()
 
-    results = {"scene": args.scene, "dim": args.dim, "algs": {}}
+    results = {"scene": args.scene, "dim": args.dim,
+               "discard": args.discard, "algs": {}}
 
     # ground truth: high-spp PT via the pool renderer (cached in --ref-npz)
     import os

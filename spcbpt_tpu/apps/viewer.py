@@ -65,7 +65,8 @@ class KeySource:
     def __init__(self, scripted: str | None):
         self.scripted = list(scripted) if scripted is not None else None
         self._raw = False
-        if self.scripted is None and sys.stdin.isatty():
+        self.interactive = self.scripted is None and sys.stdin.isatty()
+        if self.interactive:
             import termios
             import tty
             self._fd = sys.stdin.fileno()
@@ -246,6 +247,8 @@ def main(argv=None):
                 break
             k = keys.poll()
             if k is None:
+                if not keys.interactive and not args.frames:
+                    break   # no tty, no scripted keys left: no quit path
                 continue
             if k in ("q", ESC):
                 break

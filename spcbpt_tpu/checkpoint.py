@@ -52,7 +52,14 @@ def load_subspace_state(path: str) -> classify.SubspaceState:
     alias_prob = jnp.asarray(z["alias_prob"]) if "alias_prob" in z else None
     alias_idx = jnp.asarray(z["alias_idx"]) if "alias_idx" in z else None
     inv_occ = jnp.asarray(z["inv_occ"]) if "inv_occ" in z else None
-    second = str(z["second_stage"]) if "second_stage" in z else "mixture"
+    if "second_stage" in z:
+        second = str(z["second_stage"])
+    else:
+        # Legacy checkpoint (pre second_stage/inv_occ): the mixture second
+        # stage needs inv_occ for its MIS rates; without it mix_coeffs falls
+        # back to pure-weighted rates while sampling from the mixture — a
+        # sampler/rate miscalibration. Default legacy states to 'weighted'.
+        second = "weighted"
     return classify.SubspaceState(eye=eye, light=light,
                                   q=jnp.asarray(z["q"]),
                                   cmf_gamma=jnp.asarray(z["cmf_gamma"]),

@@ -163,12 +163,15 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
             is_brdf=jnp.zeros_like(hit_surf), last_brdf=last.is_brdf,
         )
 
-        conn_total, state2 = _connections(
-            ts, ss, sampler, mid, ratio_mid, c["state"],
-            connection_n, uniform, second_stage,
-            sort=False if presort else None)
-        result = result + jnp.where(hit_surf[..., None],
-                                    conn_total / connection_n, 0.0)
+        if connection_n > 0:
+            conn_total, state2 = _connections(
+                ts, ss, sampler, mid, ratio_mid, c["state"],
+                connection_n, uniform, second_stage,
+                sort=False if presort else None)
+            result = result + jnp.where(hit_surf[..., None],
+                                        conn_total / connection_n, 0.0)
+        else:
+            state2 = c["state"]
 
         # RR + bounce
         v_dir = -d

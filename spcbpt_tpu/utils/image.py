@@ -42,7 +42,12 @@ def rel_mse(img, ref, eps: float = 1e-2, discard: float = 0.0) -> float:
     scenes otherwise let a handful of fireflies dominate the metric)."""
     img = np.asarray(img, np.float64)
     ref = np.asarray(ref, np.float64)
-    d = ((img - ref) ** 2 / (ref ** 2 + eps)).ravel()
+    d = (img - ref) ** 2 / (ref ** 2 + eps)
+    if d.ndim >= 2 and d.shape[-1] == 3:
+        # Aggregate per pixel before ranking so the discard drops whole
+        # firefly pixels (the paper's protocol), not individual channels.
+        d = d.mean(axis=-1)
+    d = d.ravel()
     if discard > 0.0:
         k = max(1, int(len(d) * (1.0 - discard)))
         d = np.partition(d, k - 1)[:k]
