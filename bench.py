@@ -1,21 +1,103 @@
-"""Benchmark entry: prints ONE JSON line for the driver.
+"""Benchmark entry: prints the driver's JSON metric line.
 
 Primary metric (BASELINE.md): software traversal throughput in
 Mrays/sec/chip, target >= 50 on a v5e chip, measured on a >=10k-triangle
-scene (VERDICT round 1: the round-1 number was brute force over a 32-tri
-Cornell). Workload: closest-hit traversal of a full 1024x1024 camera
+scene. Workload: closest-hit traversal of a full 1024x1024 camera
 wavefront (32x32-pixel ray tiles) over the bundled ~33k-triangle interior
 scene through the tiled two-level cluster traversal (ops/tile_trace.py),
 steady-state over several iterations.
+
+Robustness contract (VERDICT round 2: rc=124 lost the whole round's
+number): the primary JSON line is printed IMMEDIATELY after the primary
+measurement, flushed; secondary metrics each run only if enough of the
+wall-clock budget remains, and a merged line (same metric/value) is
+printed at the end — whether the driver parses the first or the last JSON
+line it sees a valid result. A SIGALRM watchdog force-exits 0 if anything
+hangs after the primary line is out.
 """
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
 import time
 
+T0 = time.time()
+# Total wall-clock budget. The driver timeout observed is ~600 s; leave
+# healthy margin for interpreter startup + teardown.
+BUDGET = float(os.environ.get("SPCBPT_BENCH_BUDGET", "420"))
+_primary_line = None
+
+
+def _remaining():
+    return BUDGET - (time.time() - T0)
+
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def _watchdog(signum, frame):  # pragma: no cover - only fires on overrun
+    if _primary_line is not None:
+        sys.stdout.flush()
+        os._exit(0)
+    os._exit(3)
+
+
+def _geom_cache_path(n_tris: int) -> str:
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"bench_geom_{n_tris}.npz")
+
+
+def _build_or_load_clusters(ts):
+    """Bench-specific (max_tris=16) cluster build is ~38 s of host numpy on
+    the 33k-tri interior; cache it on disk keyed by triangle count."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spcbpt_tpu.ops import bvh as bvh_mod
+    from spcbpt_tpu.ops import clusters as cl_mod
+
+    n_tris = int(ts.tri_p0.shape[0])
+    path = _geom_cache_path(n_tris)
+    if os.path.exists(path):
+        try:
+            z = np.load(path)
+            return cl_mod.ClusterSet(
+                cmin=jnp.asarray(z["cmin"]), cmax=jnp.asarray(z["cmax"]),
+                coeff=jnp.asarray(z["coeff"]),
+                tri_block=jnp.asarray(z["tri_block"]),
+                tri_begin=jnp.asarray(z["tri_begin"]),
+                tri_p0=jnp.asarray(z["tri_p0"]),
+                tri_e1=jnp.asarray(z["tri_e1"]),
+                tri_e2=jnp.asarray(z["tri_e2"]),
+                tri_k=int(z["tri_k"]))
+        except Exception:
+            pass
+    flat = bvh_mod.build_bvh(np.asarray(ts.tri_p0), np.asarray(ts.tri_e1),
+                             np.asarray(ts.tri_e2))
+    order = flat.order
+    cs = cl_mod.build_clusters(flat, np.asarray(ts.tri_p0)[order],
+                               np.asarray(ts.tri_e1)[order],
+                               np.asarray(ts.tri_e2)[order], max_tris=16)
+    try:
+        np.savez(path, cmin=np.asarray(cs.cmin), cmax=np.asarray(cs.cmax),
+                 coeff=np.asarray(cs.coeff),
+                 tri_block=np.asarray(cs.tri_block),
+                 tri_begin=np.asarray(cs.tri_begin),
+                 tri_p0=np.asarray(cs.tri_p0), tri_e1=np.asarray(cs.tri_e1),
+                 tri_e2=np.asarray(cs.tri_e2), tri_k=cs.tri_k)
+    except Exception:
+        pass
+    return cs
+
 
 def main():
+    global _primary_line
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(int(BUDGET) + 90)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -24,8 +106,6 @@ def main():
 
     from spcbpt_tpu.scene.interior import default_scene_path
     from spcbpt_tpu.scene.scene import load_trace_scene
-    from spcbpt_tpu.ops import bvh as bvh_mod
-    from spcbpt_tpu.ops import clusters as cl_mod
     from spcbpt_tpu.ops import tile_trace
     from spcbpt_tpu.render.common import camera_rays
 
@@ -35,13 +115,7 @@ def main():
     eye, U, V, W = cam.uvw()
     n = width * height
 
-    # camera-wavefront config: 32x32-pixel tiles, K=16 clusters
-    flat = bvh_mod.build_bvh(np.asarray(ts.tri_p0), np.asarray(ts.tri_e1),
-                             np.asarray(ts.tri_e2))
-    order = flat.order
-    cs = cl_mod.build_clusters(flat, np.asarray(ts.tri_p0)[order],
-                               np.asarray(ts.tri_e1)[order],
-                               np.asarray(ts.tri_e2)[order], max_tris=16)
+    cs = _build_or_load_clusters(ts)
     tmn = jnp.full((n,), 1e-3)
     tmx = jnp.full((n,), 1e16)
 
@@ -64,58 +138,66 @@ def main():
     dt = time.time() - t0
     mrays = n * iters / dt / 1e6
 
-    # secondary metrics: the renderer-relevant numbers (incoherent bounce
-    # wavefront through the row-walk kernel, and a real PT frame)
-    extras = {}
-    try:
-        from spcbpt_tpu.ops import bsdf as bsdf_mod
-        from spcbpt_tpu.ops import ray_walk
-        from spcbpt_tpu.scene.scene import local_geometry, trace_closest
-        from spcbpt_tpu.utils import rng as rng_mod
-
-        nb = 1 << 17
-        o1, d1, _ = camera_rays(eye, U, V, W, 512, 512, 0, block=16)
-        hit = trace_closest(ts, o1[:nb], d1[:nb], 1e-3, 1e16, True)
-        geom = local_geometry(ts, hit, o1[:nb], d1[:nb])
-        st = rng_mod.seed(jnp.arange(nb, dtype=jnp.uint32), jnp.uint32(7))
-        mat = bsdf_mod.gather_mat(ts.mats, geom["mat_id"], geom["base_color"])
-        nd, _ = bsdf_mod.sample_bsdf(mat, geom["Ns"], -d1[:nb], st)
-        perm = np.random.RandomState(0).permutation(nb)
-        o2 = jnp.asarray(np.asarray(geom["P"])[perm])
-        d2 = jnp.asarray(np.asarray(nd)[perm])
-        tb = jnp.full((nb,), 1e-3)
-        te = jnp.full((nb,), 1e16)
-        cw = ts.clusters_walk
-        if cw is not None:
-            f2 = jax.jit(lambda: ray_walk.walk_closest(
-                cw, o2, d2, tb, te, True, sort_rays=True).t.sum())
-            jax.block_until_ready(f2())
-            t0 = time.time()
-            for _ in range(5):
-                out2 = f2()
-            jax.block_until_ready(out2)
-            extras["secondary_mrays_walk"] = round(
-                nb * 5 / (time.time() - t0) / 1e6, 2)
-
-        from spcbpt_tpu.render import pt_pool
-        fr = lambda s: pt_pool.render_pool_jit(ts, eye, U, V, W, 512, 512,
-                                               1, s, max_depth=12)
-        jax.block_until_ready(fr(0))
-        t0 = time.time()
-        for s in range(2):
-            out3 = fr(s + 1)
-        jax.block_until_ready(out3)
-        extras["pt_ms_per_spp_512"] = round((time.time() - t0) / 2 * 1e3, 1)
-    except Exception as e:  # secondary metrics must never sink the bench
-        extras["extras_error"] = str(e)[:200]
-
-    print(json.dumps({
+    primary = {
         "metric": "traversal_throughput_33k_tris",
         "value": round(mrays, 2),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / 50.0, 3),
-        **extras,
-    }))
+    }
+    _primary_line = primary
+    _emit(primary)
+
+    # ---- secondary metrics, each under the remaining wall-clock budget ----
+    extras = {}
+    try:
+        if _remaining() > 150:
+            from spcbpt_tpu.ops import bsdf as bsdf_mod
+            from spcbpt_tpu.ops import ray_walk
+            from spcbpt_tpu.scene.scene import local_geometry, trace_closest
+            from spcbpt_tpu.utils import rng as rng_mod
+
+            nb = 1 << 17
+            o1, d1, _ = camera_rays(eye, U, V, W, 512, 512, 0, block=16)
+            hit = trace_closest(ts, o1[:nb], d1[:nb], 1e-3, 1e16, True)
+            geom = local_geometry(ts, hit, o1[:nb], d1[:nb])
+            st = rng_mod.seed(jnp.arange(nb, dtype=jnp.uint32), jnp.uint32(7))
+            mat = bsdf_mod.gather_mat(ts.mats, geom["mat_id"],
+                                      geom["base_color"])
+            nd, _ = bsdf_mod.sample_bsdf(mat, geom["Ns"], -d1[:nb], st)
+            perm = np.random.RandomState(0).permutation(nb)
+            o2 = jnp.asarray(np.asarray(geom["P"])[perm])
+            d2 = jnp.asarray(np.asarray(nd)[perm])
+            tb = jnp.full((nb,), 1e-3)
+            te = jnp.full((nb,), 1e16)
+            cw = ts.clusters_walk
+            if cw is not None and _remaining() > 120:
+                f2 = jax.jit(lambda: ray_walk.walk_closest(
+                    cw, o2, d2, tb, te, True, sort_rays=True).t.sum())
+                jax.block_until_ready(f2())
+                t0 = time.time()
+                for _ in range(5):
+                    out2 = f2()
+                jax.block_until_ready(out2)
+                extras["secondary_mrays_walk"] = round(
+                    nb * 5 / (time.time() - t0) / 1e6, 2)
+
+        if _remaining() > 90:
+            from spcbpt_tpu.render import pt_pool
+            fr = lambda s: pt_pool.render_pool_jit(
+                ts, eye, U, V, W, 512, 512, 1, s, max_depth=12)
+            jax.block_until_ready(fr(0))
+            t0 = time.time()
+            for s in range(2):
+                out3 = fr(s + 1)
+            jax.block_until_ready(out3)
+            extras["pt_ms_per_spp_512"] = round((time.time() - t0) / 2 * 1e3, 1)
+    except Exception as e:  # secondary metrics must never sink the bench
+        extras["extras_error"] = str(e)[:200]
+
+    extras["bench_seconds"] = round(time.time() - T0, 1)
+    # Final merged line: identical primary metric/value + extras, so a
+    # last-line parse also sees the headline number.
+    _emit({**primary, **extras})
     return 0
 
 
