@@ -25,6 +25,12 @@ def main(argv=None):
     p.add_argument("--scene", default="cornell")
     p.add_argument("--dim", default="256x256")
     p.add_argument("--ref-spp", type=int, default=256)
+    p.add_argument("--ref-alg", default="pt", choices=["pt", "bdpt"],
+                   help="reference renderer; use bdpt on indirect-dominant "
+                        "scenes where a PT reference stays unconverged")
+    p.add_argument("--ref-check-spp", type=int, default=0,
+                   help="if >0, cross-check the reference's mean energy "
+                        "against an independent PT run of this many spp")
     p.add_argument("--spp", type=int, default=16)
     p.add_argument("--equal-time", type=float, default=None,
                    help="seconds per algorithm instead of fixed spp")
@@ -65,25 +71,51 @@ def main(argv=None):
     eye, U, V, W = cam.uvw()
 
     results = {"scene": args.scene, "dim": args.dim,
-               "discard": args.discard, "algs": {}}
+               "discard": args.discard, "ref_alg": args.ref_alg,
+               "ref_spp": args.ref_spp, "algs": {}}
 
-    # ground truth: high-spp PT via the pool renderer (cached in --ref-npz)
+    def render_ref_chunk(alg, spp, seed_base):
+        """(film_sum, counts) for `spp` samples of the reference renderer."""
+        if alg == "pt":
+            return pt_pool.render_pool_jit(
+                ts, eye, U, V, W, width, height, spp, seed_base,
+                max_depth=args.max_depth)
+        # bdpt: uniform vertex connections — structurally different sampler
+        # from PT; on indirect-dominant scenes a PT reference at any
+        # practical spp stays speckle-noisy and relMSE against it punishes
+        # converged images (zero-agrees-with-zero artifact)
+        from ..render import spcbpt_pool
+        ss0 = classify.untrained_state()
+        lt = jax.jit(lambda f: light_trace.trace_light_paths(
+            ts, ss0, args.light_paths, f, max_depth=args.light_depth))
+        build = jax.jit(lvc.build_sampler)
+        acc_f = np.zeros((width * height, 3))
+        acc_c = np.zeros((width * height,))
+        for s in range(spp):
+            sampler = build(lt(seed_base + s + 3331))
+            fs, ct = spcbpt_pool.render_pool_jit(
+                ts, ss0, sampler, eye, U, V, W, width, height, 1,
+                seed_base + s, max_depth=args.max_depth, uniform=True)
+            jax.block_until_ready(fs)
+            acc_f += np.asarray(fs)
+            acc_c += np.asarray(ct)
+        return acc_f, acc_c
+
+    # ground truth: high-spp render (cached in --ref-npz)
     import os
     if args.ref_npz and os.path.exists(args.ref_npz):
         ref = np.load(args.ref_npz)["img"]
         assert ref.shape == (width * height, 3), ref.shape
         print(f"[ref] loaded {args.ref_npz}", flush=True)
     else:
-        print(f"[ref] PT {args.ref_spp} spp ...", flush=True)
+        print(f"[ref] {args.ref_alg} {args.ref_spp} spp ...", flush=True)
         t0 = time.time()
         ref_acc = np.zeros((width * height, 3))
         ref_cnt = np.zeros((width * height,))
         chunk = 256
         for s0 in range(0, args.ref_spp, chunk):
-            fsum, count = pt_pool.render_pool_jit(
-                ts, eye, U, V, W, width, height,
-                min(chunk, args.ref_spp - s0), 10_000 + s0,
-                max_depth=args.max_depth)
+            fsum, count = render_ref_chunk(
+                args.ref_alg, min(chunk, args.ref_spp - s0), 10_000 + s0)
             jax.block_until_ready(fsum)
             ref_acc += np.asarray(fsum)
             ref_cnt += np.asarray(count)
@@ -93,6 +125,21 @@ def main(argv=None):
         print(f"[ref] done in {time.time()-t0:.1f}s", flush=True)
         if args.ref_npz:
             np.savez_compressed(args.ref_npz, img=ref.astype(np.float32))
+
+    if args.ref_check_spp:
+        # unbiasedness cross-check: mean energy of an independent PT run must
+        # agree with the reference (both estimators are unbiased; the PT mean
+        # converges long before its relMSE does)
+        fs, ct = render_ref_chunk("pt", args.ref_check_spp, 777_000)
+        pt_mean = float((np.asarray(fs)
+                         / np.maximum(np.asarray(ct)[:, None], 1)).mean())
+        ref_mean = float(ref.mean())
+        results["energy_check"] = {
+            "ref_mean": ref_mean, "pt_mean": pt_mean,
+            "pt_check_spp": args.ref_check_spp,
+            "rel_diff": abs(pt_mean - ref_mean) / max(ref_mean, 1e-9)}
+        print(f"[ref] energy check: ref {ref_mean:.5f} vs PT "
+              f"{pt_mean:.5f} ({args.ref_check_spp} spp)", flush=True)
 
     algs = args.algs.split(",")
     ss_trained = None

@@ -47,6 +47,10 @@ class ClusterSet:
     tri_e1: jnp.ndarray    # (T, 3)
     tri_e2: jnp.ndarray    # (T, 3)
     tri_k: int = struct.field(pytree_node=False, default=64)
+    # first GLOBAL (reordered) triangle id of this set — nonzero for the
+    # partitioned large-scene sets of build_cluster_parts, whose tri_begin /
+    # tri_* arrays are local to the partition
+    tri_base: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_clusters(self) -> int:
@@ -109,17 +113,12 @@ def ray_features(o, d):
     return jnp.concatenate([od, d, o, one], axis=-1)
 
 
-def build_clusters(flat: FlatBVH, p0: np.ndarray, e1: np.ndarray,
-                   e2: np.ndarray, max_tris: int = 64,
-                   with_coeff: bool = True) -> ClusterSet:
-    """Build a ClusterSet from a flattened BVH and the REORDERED triangle
-    arrays (p0/e1/e2 already permuted by flat.order). Triangle ids in the
-    packed blocks refer to the reordered arrays (matching Hit.tri).
-    with_coeff=False skips the MXU coefficient blocks (4x the tri_block
-    bytes) for consumers that only need the raw blocks (ops/ray_walk.py)."""
-    cl = _cut_bvh(flat, max_tris)
+def _pack_cluster_list(cl, flat: FlatBVH, p0, e1, e2, k: int,
+                       with_coeff: bool, tri_base: int,
+                       tri_end: int) -> ClusterSet:
+    """Pack a list of (lo, hi, node) GLOBAL triangle ranges into a ClusterSet
+    whose tri_begin / tri_* arrays are local to [tri_base, tri_end)."""
     c = len(cl)
-    k = max_tris
     coeff = np.zeros((c, k, FEAT_DIM, N_OUT), np.float32) if with_coeff \
         else None
     assert k <= 128, "cluster K above the 128-lane tile is unsupported"
@@ -127,9 +126,6 @@ def build_clusters(flat: FlatBVH, p0: np.ndarray, e1: np.ndarray,
     cmin = np.zeros((c, 3), np.float32)
     cmax = np.zeros((c, 3), np.float32)
     begin = np.zeros((c,), np.int32)
-    p0 = np.asarray(p0, np.float64)
-    e1 = np.asarray(e1, np.float64)
-    e2 = np.asarray(e2, np.float64)
     for ci, (lo, hi, node) in enumerate(cl):
         if with_coeff:
             coeff[ci, :hi - lo] = pack_coefficients(p0[lo:hi], e1[lo:hi],
@@ -138,7 +134,7 @@ def build_clusters(flat: FlatBVH, p0: np.ndarray, e1: np.ndarray,
         tri_block[ci, :9, :hi - lo] = raw.T
         cmin[ci] = flat.bounds_min[node]
         cmax[ci] = flat.bounds_max[node]
-        begin[ci] = lo
+        begin[ci] = lo - tri_base
     # (C, K, 16, 4) -> (C, 16, 4K): outputs grouped by kind then triangle slot
     if with_coeff:
         coeff = coeff.transpose(0, 2, 3, 1).reshape(c, FEAT_DIM, N_OUT * k)
@@ -148,7 +144,55 @@ def build_clusters(flat: FlatBVH, p0: np.ndarray, e1: np.ndarray,
                       coeff=jnp.asarray(coeff),
                       tri_block=jnp.asarray(tri_block),
                       tri_begin=jnp.asarray(begin),
-                      tri_p0=jnp.asarray(p0, jnp.float32),
-                      tri_e1=jnp.asarray(e1, jnp.float32),
-                      tri_e2=jnp.asarray(e2, jnp.float32),
-                      tri_k=k)
+                      tri_p0=jnp.asarray(p0[tri_base:tri_end], jnp.float32),
+                      tri_e1=jnp.asarray(e1[tri_base:tri_end], jnp.float32),
+                      tri_e2=jnp.asarray(e2[tri_base:tri_end], jnp.float32),
+                      tri_k=k, tri_base=tri_base)
+
+
+def build_clusters(flat: FlatBVH, p0: np.ndarray, e1: np.ndarray,
+                   e2: np.ndarray, max_tris: int = 64,
+                   with_coeff: bool = True) -> ClusterSet:
+    """Build a ClusterSet from a flattened BVH and the REORDERED triangle
+    arrays (p0/e1/e2 already permuted by flat.order). Triangle ids in the
+    packed blocks refer to the reordered arrays (matching Hit.tri).
+    with_coeff=False skips the MXU coefficient blocks (4x the tri_block
+    bytes) for consumers that only need the raw blocks (ops/ray_walk.py)."""
+    cl = _cut_bvh(flat, max_tris)
+    p0 = np.asarray(p0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    return _pack_cluster_list(cl, flat, p0, e1, e2, max_tris, with_coeff,
+                              0, len(p0))
+
+
+def build_cluster_parts(flat: FlatBVH, p0, e1, e2, max_tris: int = 128,
+                        part_max_tris: int = 120_000,
+                        with_coeff: bool = False) -> tuple:
+    """Large-scene variant: cut the BVH once, then group consecutive clusters
+    into partitions of <= part_max_tris triangles, each packed as its own
+    (VMEM-resident) ClusterSet with local triangle ids + tri_base. The BVH's
+    DFS order makes consecutive clusters spatially coherent, so partition
+    AABB sets stay tight; ops/ray_walk.walk_closest_parts traverses the
+    partitions sequentially with a tightening tmax.
+
+    Replaces the reference's batched GAS build for arbitrary scene sizes
+    (sutil/Scene.cpp:943-1259 builds one GAS per mesh batch and compacts)."""
+    cl = _cut_bvh(flat, max_tris)
+    p0 = np.asarray(p0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    parts = []
+    group = []
+    base = 0
+    for lo, hi, node in cl:
+        if group and hi - base > part_max_tris:
+            parts.append(_pack_cluster_list(group, flat, p0, e1, e2, max_tris,
+                                            with_coeff, base, group[-1][1]))
+            group = []
+            base = lo
+        group.append((lo, hi, node))
+    if group:
+        parts.append(_pack_cluster_list(group, flat, p0, e1, e2, max_tris,
+                                        with_coeff, base, group[-1][1]))
+    return tuple(parts)

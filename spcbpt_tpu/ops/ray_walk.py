@@ -312,6 +312,79 @@ def walk_closest(cs: ClusterSet, origins, dirs, tmin, tmax,
                u=jnp.where(found, bu, 0.0), v=jnp.where(found, bv, 0.0))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cull_backface", "sort_rays", "interpret"))
+def walk_closest_parts(parts, origins, dirs, tmin, tmax,
+                       cull_backface: bool = True, sort_rays: bool = False,
+                       interpret: bool = False) -> Hit:
+    """Closest-hit over a partitioned large scene (ops/clusters.
+    build_cluster_parts): walk each VMEM-sized partition in sequence with a
+    tmax tightened by the best hit so far — rays that already hit a nearer
+    partition prune later partitions' row walks to near-zero rounds. Hit.tri
+    ids are global (partition tri_base added).
+
+    Replaces OptiX traversal over the multi-GAS scene for scenes beyond the
+    ~120k-triangle VMEM table of walk_closest (sutil/Scene.cpp:943 builds
+    GASes per mesh batch; hardware BVH has no such ceiling)."""
+    ray_perm = None
+    if sort_rays:
+        cmin = jnp.concatenate([p.cmin for p in parts])
+        cmax = jnp.concatenate([p.cmax for p in parts])
+        key = ray_sort_key(cmin, cmax, origins, dirs)
+        ray_perm = jnp.argsort(key).astype(jnp.int32)
+        origins, dirs = origins[ray_perm], dirs[ray_perm]
+        tmin, tmax = tmin[ray_perm], tmax[ray_perm]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), origins.shape[:-1])
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), origins.shape[:-1])
+
+    best = None
+    for cs in parts:
+        cur_tmax = tmax if best is None else jnp.minimum(tmax, best.t)
+        h = walk_closest(cs, origins, dirs, tmin, cur_tmax,
+                         cull_backface=cull_backface, sort_rays=False,
+                         interpret=interpret)
+        h = Hit(t=h.t, tri=jnp.where(h.tri >= 0, h.tri + cs.tri_base, -1),
+                u=h.u, v=h.v)
+        if best is None:
+            best = h
+        else:
+            better = h.t < best.t
+            best = Hit(t=jnp.where(better, h.t, best.t),
+                       tri=jnp.where(better, h.tri, best.tri),
+                       u=jnp.where(better, h.u, best.u),
+                       v=jnp.where(better, h.v, best.v))
+    if ray_perm is not None:
+        best = jax.tree_util.tree_map(
+            lambda a: jnp.zeros_like(a).at[ray_perm].set(a), best)
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("sort_rays", "interpret"))
+def walk_any_parts(parts, origins, dirs, tmin, tmax,
+                   sort_rays: bool = False, interpret: bool = False):
+    """Any-hit over a partitioned large scene; occluded rays collapse later
+    partitions' walks (tmax < tmin convention of _pad)."""
+    ray_perm = None
+    if sort_rays:
+        cmin = jnp.concatenate([p.cmin for p in parts])
+        cmax = jnp.concatenate([p.cmax for p in parts])
+        key = ray_sort_key(cmin, cmax, origins, dirs)
+        ray_perm = jnp.argsort(key).astype(jnp.int32)
+        origins, dirs = origins[ray_perm], dirs[ray_perm]
+        tmin, tmax = tmin[ray_perm], tmax[ray_perm]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), origins.shape[:-1])
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), origins.shape[:-1])
+
+    occ = jnp.zeros(origins.shape[:-1], bool)
+    for cs in parts:
+        cur_tmax = jnp.where(occ, -1.0, tmax)
+        occ = occ | walk_any(cs, origins, dirs, tmin, cur_tmax,
+                             sort_rays=False, interpret=interpret)
+    if ray_perm is not None:
+        occ = jnp.zeros_like(occ).at[ray_perm].set(occ)
+    return occ
+
+
 @functools.partial(jax.jit, static_argnames=("sort_rays", "interpret"))
 def walk_any(cs: ClusterSet, origins, dirs, tmin, tmax,
              sort_rays: bool = False, interpret: bool = False):

@@ -130,6 +130,10 @@ def wavefront_key(ts: TraceScene, origins, dirs):
         ts.clusters if ts.mode == "tile" else None)
     if cs is None:
         return None
+    if isinstance(cs, tuple):   # partitioned large scene
+        return tile_trace.ray_sort_key(
+            jnp.concatenate([p.cmin for p in cs]),
+            jnp.concatenate([p.cmax for p in cs]), origins, dirs)
     return tile_trace.ray_sort_key(cs.cmin, cs.cmax, origins, dirs)
 
 
@@ -144,6 +148,11 @@ def trace_closest(ts: TraceScene, origins, dirs, tmin, tmax,
             origins, dirs, ts.tri_p0, ts.tri_e1, ts.tri_e2, tmin, tmax,
             cull_backface, chunk=min(512, max(8, ts.num_tris)))
     if ts.mode == "walk":
+        if isinstance(ts.clusters_walk, tuple):
+            return ray_walk.walk_closest_parts(ts.clusters_walk, origins,
+                                               dirs, tmin, tmax,
+                                               cull_backface,
+                                               sort_rays=do_sort)
         return ray_walk.walk_closest(ts.clusters_walk, origins, dirs,
                                      tmin, tmax, cull_backface,
                                      sort_rays=do_sort)
@@ -167,6 +176,9 @@ def trace_any(ts: TraceScene, origins, dirs, tmin, tmax,
             origins, dirs, ts.tri_p0, ts.tri_e1, ts.tri_e2, tmin, tmax,
             chunk=min(512, max(8, ts.num_tris)))
     if ts.mode == "walk":
+        if isinstance(ts.clusters_walk, tuple):
+            return ray_walk.walk_any_parts(ts.clusters_walk, origins, dirs,
+                                           tmin, tmax, sort_rays=do_sort)
         return ray_walk.walk_any(ts.clusters_walk, origins, dirs, tmin, tmax,
                                  sort_rays=do_sort)
     if ts.mode == "tile":
@@ -461,7 +473,7 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
         elif len(p0) <= BRUTE_FORCE_MAX_TRIS_TPU:
             mode = "brute"
         else:
-            mode = "walk" if len(p0) <= WALK_MAX_TRIS else "tile"
+            mode = "walk"   # any size: partitioned sets above WALK_MAX_TRIS
 
     cset = None
     cset_walk = None
@@ -469,9 +481,14 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
         cset = clusters_mod.build_clusters(flat, p0[order], e1[order],
                                            e2[order], max_tris=CLUSTER_TRI_K)
     elif mode == "walk":
-        cset_walk = clusters_mod.build_clusters(
-            flat, p0[order], e1[order], e2[order], max_tris=128,
-            with_coeff=False)
+        if len(p0) <= WALK_MAX_TRIS:
+            cset_walk = clusters_mod.build_clusters(
+                flat, p0[order], e1[order], e2[order], max_tris=128,
+                with_coeff=False)
+        else:
+            cset_walk = clusters_mod.build_cluster_parts(
+                flat, p0[order], e1[order], e2[order], max_tris=128,
+                part_max_tris=WALK_MAX_TRIS, with_coeff=False)
 
     def dev(x, dt=jnp.float32):
         return jnp.asarray(x, dt)
