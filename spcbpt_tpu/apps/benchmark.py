@@ -170,6 +170,12 @@ def main(argv=None):
                         ckpt_mod.save_subspace_state(args.checkpoint,
                                                      ss_trained)
             ss = ss_trained
+        if alg == "spcbpt" and ss.trained:
+            if args.second_stage == "auto":
+                print(f"[bench] second stage '{ss.second_stage}' "
+                      f"(trained selection)", flush=True)
+            else:
+                ss = ss.replace(second_stage=args.second_stage)
         if alg == "pt":
             def one(s, acc):
                 fs, ct = pt_pool.render_pool_jit(
@@ -181,22 +187,16 @@ def main(argv=None):
             uniform = alg == "bdpt"
             lt = jax.jit(lambda f: light_trace.trace_light_paths(
                 ts, ss, args.light_paths, f, max_depth=args.light_depth))
-            build = jax.jit(lvc.build_sampler)
+            build = lvc.make_builder(None if uniform else ss)
 
             def one(s, acc):
-                sampler = build(lt(s + 7919))
+                sampler = build(lt(s + 7919), s)
                 fs, ct = spcbpt_pool.render_pool_jit(
                     ts, ss, sampler, eye, U, V, W, width, height, 1, s,
                     max_depth=args.max_depth, uniform=uniform)
                 return accumulate(acc, fs / jnp.maximum(ct[:, None], 1), s)
 
         acc = jnp.zeros((width * height, 3))
-        if alg == "spcbpt" and ss.trained:
-            if args.second_stage == "auto":
-                print(f"[bench] second stage '{ss.second_stage}' "
-                      f"(trained selection)", flush=True)
-            else:
-                ss = ss.replace(second_stage=args.second_stage)
         # warm up / compile outside the timed loop
         acc = one(0, acc)
         jax.block_until_ready(acc)

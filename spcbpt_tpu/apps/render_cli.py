@@ -142,14 +142,14 @@ def main(argv=None):
         uniform = args.alg == "bdpt"
         lt_fn = jax.jit(lambda f: light_trace.trace_light_paths(
             ts, ss, args.light_paths, f, max_depth=args.light_depth))
-        build = jax.jit(lvc.build_sampler)
+        build = lvc.make_builder(None if uniform else ss)
         fsum = jnp.zeros((width * height, 3))
         count = jnp.zeros((width * height,), jnp.int32)
         if args.alg == "spcbpt" and ss.trained:
             print(f"[render] second stage '{ss.second_stage}'", flush=True)
         for s in range(spp):
             t_lt = time.time()
-            sampler = build(lt_fn(s + args.seed + 7919))
+            sampler = build(lt_fn(s + args.seed + 7919), s + args.seed)
             t_eye = time.time()
             fs, ct = spcbpt_pool.render_pool_jit(
                 ts, ss, sampler, eye, U, V, W, width, height, 1,

@@ -198,7 +198,7 @@ def main(argv=None):
 
     lt_fn = jax.jit(lambda f: light_trace.trace_light_paths(
         ts, ss, n_lp, f, max_depth=8))
-    build = jax.jit(lvc.build_sampler)
+    build = lvc.make_builder(ss)
 
     def render_one(alg: str, uvw, subframe: int):
         eye, U, V, W = uvw
@@ -207,7 +207,7 @@ def main(argv=None):
                 ts, eye, U, V, W, width, height, 1, subframe,
                 max_depth=args.max_depth)
         else:
-            sampler = build(lt_fn(subframe + 7919))
+            sampler = build(lt_fn(subframe + 7919), subframe)
             fsum, count = spcbpt_pool.render_pool_jit(
                 ts, ss, sampler, eye, U, V, W, width, height, 1, subframe,
                 max_depth=args.max_depth, uniform=(alg == "bdpt"))

@@ -60,10 +60,11 @@ def load_subspace_state(path: str) -> classify.SubspaceState:
         # back to pure-weighted rates while sampling from the mixture — a
         # sampler/rate miscalibration. Default legacy states to 'weighted'.
         second = "weighted"
-    return classify.SubspaceState(eye=eye, light=light,
-                                  q=jnp.asarray(z["q"]),
-                                  cmf_gamma=jnp.asarray(z["cmf_gamma"]),
-                                  alias_prob=alias_prob, alias_idx=alias_idx,
-                                  inv_occ=inv_occ,
-                                  trained=bool(z["trained"]),
-                                  second_stage=second)
+    return classify.publish_tables(classify.SubspaceState(
+        eye=eye, light=light,
+        q=jnp.asarray(z["q"]),
+        cmf_gamma=jnp.asarray(z["cmf_gamma"]),
+        alias_prob=alias_prob, alias_idx=alias_idx,
+        inv_occ=inv_occ,
+        trained=bool(z["trained"]),
+        second_stage=second))

@@ -105,7 +105,9 @@ def sharded_spcbpt_render(ts, ss, cam_uvw, width: int, height: int, subframe,
         lv = light_trace.trace_light_paths(ts_rep, ss_rep,
                                            light_paths_per_chip, frame,
                                            max_depth=light_depth)
-        sampler = lvc.build_sampler(lv)
+        sampler = lvc.build_sampler(
+            lv, table_mode=None if uniform else lvc.table_mode_for(ss),
+            table_seed=frame)
         o, d, state = _block_camera_rays(eye, U, V, W, width, height, rows,
                                          ti, si, subframe)
         step = spcbpt.make_spcbpt_step(ts_rep, ss_rep, sampler, max_depth,

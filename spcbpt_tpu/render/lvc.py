@@ -21,7 +21,7 @@ from ..ops.cmf import segment_pmf, segment_searchsorted
 from ..train import classify
 from ..utils import rng as rng_mod
 from ..utils import vec
-from .vertex import LightVertices, reshape_flat
+from .vertex import LightVertices, pack_matrix, reshape_flat
 
 
 @struct.dataclass
@@ -34,9 +34,26 @@ class LVCSampler:
     seg_sum: jnp.ndarray         # (NUM_SUBSPACE,) float32
     vertex_count: jnp.ndarray    # () int32 valid vertices
     path_count: jnp.ndarray      # () int32 valid light paths
+    # packed (V, 32) copy of `vertices` (vertex.pack_matrix): connection
+    # draws fetch one row instead of ~20 scalar gathers
+    packed: jnp.ndarray = None
+    # per-subspace presampled second-stage tables (see presample_tables):
+    # table_idx[s, k] = vertex flat-index of the k-th presampled draw for
+    # subspace s; table_pmf[s, k] = the density that draw was made from.
+    # Picking a uniform slot and dividing by table_pmf is unbiased for the
+    # table_mode distribution (E[f/p] over the i.i.d. table draws), and
+    # replaces an 18 ms/wavefront CMF bisection with two sub-ms gathers.
+    table_idx: jnp.ndarray = None    # (NUM_SUBSPACE, K) int32
+    table_pmf: jnp.ndarray = None    # (NUM_SUBSPACE, K) f32
+    table_mode: str = struct.field(pytree_node=False, default=None)
 
 
-def build_sampler(lv: LightVertices) -> LVCSampler:
+def build_sampler(lv: LightVertices, table_mode: str = None,
+                  table_k: int = 128, table_seed: int = 0) -> LVCSampler:
+    """table_mode: presample per-subspace connection tables for this
+    second-stage mode ("weighted" | "mixture"; "uniform" needs none).
+    MUST match the SubspaceState's second_stage or the MIS rate calibration
+    breaks — renderers only use a table whose mode matches."""
     flat = reshape_flat(lv)
     v_count = flat.valid.shape[0]
 
@@ -59,13 +76,72 @@ def build_sampler(lv: LightVertices) -> LVCSampler:
     denom = jnp.maximum(seg_sum, 1e-30)
     cmf = (csum - base[skey]) / denom[skey]
 
-    return LVCSampler(
+    s = LVCSampler(
         vertices=flat, order=order, cmf=cmf,
         seg_start=start[:NUM_SUBSPACE], seg_size=counts[:NUM_SUBSPACE],
         seg_sum=seg_sum[:NUM_SUBSPACE],
         vertex_count=jnp.sum(ones),
         path_count=jnp.sum(jnp.where(flat.valid & (flat.depth == 0), 1, 0)),
+        packed=pack_matrix(flat),
     )
+    if table_mode in ("weighted", "mixture"):
+        idx, pmf = presample_tables(s, table_mode, table_k, table_seed)
+        s = s.replace(table_idx=idx, table_pmf=pmf, table_mode=table_mode)
+    return s
+
+
+def table_mode_for(ss) -> str:
+    """The presample mode matching a SubspaceState's second stage (None when
+    no table helps: untrained states connect uniformly; the 'uniform' second
+    stage is already O(1))."""
+    if ss is None or not ss.trained:
+        return None
+    return ss.second_stage if ss.second_stage in ("weighted", "mixture") \
+        else None
+
+
+def make_builder(ss, table_k: int = 128):
+    """Jitted per-frame sampler builder whose presampled table mode matches
+    ss — the common caller pattern (build(lt(frame), frame))."""
+    import jax
+    mode = table_mode_for(ss)
+
+    def f(lv, seed=0):
+        return build_sampler(lv, table_mode=mode, table_k=table_k,
+                             table_seed=seed)
+    return jax.jit(f)
+
+
+def presample_tables(s: LVCSampler, mode: str, k: int, seed: int = 0):
+    """Draw K i.i.d. second-stage samples per subspace ONCE per frame and
+    record the density each was drawn from. Render-time draws pick a uniform
+    slot; since every slot is an i.i.d. draw from the mode's density p and
+    the estimator divides by the recorded p(v_slot), E[f/p] equals the
+    segment sum — unbiased, same marginal targeting as the per-draw CMF
+    bisection (cuProg.h:268-288), shared across the frame's eye vertices."""
+    lsub = jnp.tile(jnp.arange(NUM_SUBSPACE, dtype=jnp.int32), (k,))
+    state = rng_mod.seed(
+        jnp.arange(lsub.shape[0], dtype=jnp.uint32),
+        jnp.asarray(seed, jnp.uint32) + jnp.uint32(0x7ab1e))
+    if mode == "mixture":
+        idx, pmf, _, _ = sample_second_stage_mixture(s, lsub, state)
+    else:
+        idx, pmf, _, _ = sample_second_stage(s, lsub, state)
+    # (k*S,) -> (S, k)
+    return (idx.reshape(k, NUM_SUBSPACE).T,
+            pmf.reshape(k, NUM_SUBSPACE).T)
+
+
+def sample_second_stage_table(s: LVCSampler, light_subspace, state):
+    """O(1) presampled second stage: uniform slot from the subspace's table
+    (presample_tables). Returns (vertex flat-index, pmf, valid, state)."""
+    r, state = rng_mod.next_float(state)
+    k = s.table_idx.shape[1]
+    slot = jnp.clip((r * k).astype(jnp.int32), 0, k - 1)
+    row = light_subspace.astype(jnp.int32)
+    idx = s.table_idx[row, slot]
+    pmf = s.table_pmf[row, slot]
+    return idx, pmf, s.seg_size[row] > 0, state
 
 
 def sample_first_stage(ss: classify.SubspaceState, eye_subspace, state):
@@ -76,6 +152,16 @@ def sample_first_stage(ss: classify.SubspaceState, eye_subspace, state):
     distribution). Returns (light_subspace, pmf, state)."""
     r, state = rng_mod.next_float(state)
     row = eye_subspace.astype(jnp.int32)
+    if ss.alias_pack is not None:
+        # fused alias row: [prob, idx, pmf_take, pmf_alias] in ONE gather
+        scaled = r * NUM_SUBSPACE
+        j = jnp.clip(scaled.astype(jnp.int32), 0, NUM_SUBSPACE - 1)
+        frac = scaled - j.astype(jnp.float32)
+        packed = ss.alias_pack[row, j]
+        take = frac < packed[..., 0]
+        l = jnp.where(take, j, packed[..., 1].astype(jnp.int32))
+        pmf = jnp.where(take, packed[..., 2], packed[..., 3])
+        return l, pmf, state
     if ss.alias_prob is not None and ss.alias_prob.shape[0] == NUM_SUBSPACE:
         scaled = r * NUM_SUBSPACE
         j = jnp.clip(scaled.astype(jnp.int32), 0, NUM_SUBSPACE - 1)

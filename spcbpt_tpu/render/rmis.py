@@ -65,14 +65,20 @@ def rate_parts(ss: classify.SubspaceState, eye_label, light_label, lum):
           Gamma * inv_occ * N  — density of the uniform-in-subspace stage
           (pmf1 * (1/n_l) * path_count, no flux factor)."""
     from ..config import NUM_SUBSPACE
-    w = classify.gamma_ss(ss, eye_label, light_label) * lum * CONNECTION_N
-    if ss.trained and ss.inv_occ is not None:
+    # mix_coeffs is static per state: skip the dead family entirely (XLA
+    # cannot fold `u * 0.0` because NaN*0 != 0, so computing it costs real
+    # gathers every bounce)
+    aw, au = mix_coeffs(ss)
+    zero = jnp.zeros(jnp.broadcast_shapes(
+        jnp.shape(eye_label), jnp.shape(light_label)))
+    w = (classify.gamma_ss(ss, eye_label, light_label) * lum * CONNECTION_N
+         if aw != 0.0 else zero)
+    if au != 0.0 and ss.trained and ss.inv_occ is not None:
         l = jnp.clip(light_label, 0, NUM_SUBSPACE - 1)
         u = (classify.gamma_block(ss, eye_label, light_label)
              * ss.inv_occ[l] * CONNECTION_N)
     else:
-        u = jnp.zeros(jnp.broadcast_shapes(
-            jnp.shape(eye_label), jnp.shape(light_label)))
+        u = zero
     return w, u
 
 

@@ -30,8 +30,9 @@ from ..utils import rng as rng_mod
 from ..utils import vec
 from . import common, rmis
 from .lvc import (LVCSampler, sample_first_stage, sample_second_stage,
-                  sample_second_stage_mixture, sample_second_stage_uniform,
-                  sample_uniform)
+                  sample_second_stage_mixture, sample_second_stage_table,
+                  sample_second_stage_uniform, sample_uniform)
+from .vertex import unpack_rows
 from .rmis import EyeVertices
 
 
@@ -281,8 +282,7 @@ def _env_r(ts):
 
 
 def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
-                 connection_n: int, uniform: bool,
-                 second_stage=None, sort=None):
+                 connection_n: int, uniform: bool, second_stage=None):
     # second_stage=None (default): O(1) uniform-in-subspace vertex pick,
     # 1.48x faster frames at ~3% relMSE on the glossy A/B — equal-time win.
     # "weighted" = the reference's flux-weighted vertex CMF (cuProg.h:268).
@@ -296,6 +296,11 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
         # lockstep so the MIS calibration always matches the sampler
         second_stage = ss.second_stage if ss.trained else "uniform"
     eye_for_conn = _ConnEye(mid, eye_ratio)
+    # per-frame presampled table for this mode: replaces the per-draw CMF
+    # bisection (18 ms/wavefront on v5e) with two gathers — see
+    # lvc.presample_tables for the unbiasedness argument
+    use_table = (sampler.table_idx is not None
+                 and sampler.table_mode == second_stage)
     draws = []
     for _ in range(connection_n):
         if uniform:
@@ -306,6 +311,9 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
             if second_stage == "uniform":
                 idx, pmf2, ok_seg, state = sample_second_stage_uniform(
                     sampler, lsub, state)
+            elif use_table:
+                idx, pmf2, ok_seg, state = sample_second_stage_table(
+                    sampler, lsub, state)
             elif second_stage == "mixture":
                 idx, pmf2, ok_seg, state = sample_second_stage_mixture(
                     sampler, lsub, state)
@@ -315,13 +323,21 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
         draws.append((idx, pmf1, pmf2, ok_seg))
     # ONE occlusion wavefront for all connection_n draws: per-call traversal
     # overhead (entry prep + kernel dispatch) amortizes 3x
-    lv_all = sampler.vertices.take(
-        jnp.concatenate([d[0] for d in draws]))
+    idx_all = jnp.concatenate([d[0] for d in draws])
+    if sampler.packed is not None:
+        # one row-gather for the whole record vs ~20 scalar gathers
+        lv_all = unpack_rows(sampler.packed[idx_all])
+    else:
+        lv_all = sampler.vertices.take(idx_all)
     pos_all = jnp.tile(mid.position, (connection_n, 1))
     target_all = jnp.where(lv_all.is_env[..., None],
                            pos_all - 10.0 * _env_r(ts) * lv_all.normal,
                            lv_all.position)
-    vis_all = visibility(ts, pos_all, target_all, SCENE_EPSILON, sort=sort)
+    # the connection wavefront's directions are unrelated to the pool's
+    # presorted bounce rays — always sort it by its OWN coherence key
+    # (argsort is ~free on TPU; unsorted incoherent any-hit measured ~2.5x
+    # slower at 196k rays)
+    vis_all = visibility(ts, pos_all, target_all, SCENE_EPSILON, sort=None)
     for k, (idx, pmf1, pmf2, ok_seg) in enumerate(draws):
         lv = jax.tree_util.tree_map(lambda a: a[k * n:(k + 1) * n], lv_all)
         vis = vis_all[k * n:(k + 1) * n]

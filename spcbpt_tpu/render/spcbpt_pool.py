@@ -166,8 +166,7 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
         if connection_n > 0:
             conn_total, state2 = _connections(
                 ts, ss, sampler, mid, ratio_mid, c["state"],
-                connection_n, uniform, second_stage,
-                sort=False if presort else None)
+                connection_n, uniform, second_stage)
             result = result + jnp.where(hit_surf[..., None],
                                         conn_total / connection_n, 0.0)
         else:

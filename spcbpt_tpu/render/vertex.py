@@ -52,6 +52,49 @@ class LightVertices:
         return jax.tree_util.tree_map(lambda a: a[idx], self)
 
 
+# Packed-matrix layout: one (V, 32) f32 row per vertex so a connection draw
+# fetches the whole record with ONE row-gather instead of ~20 scalar gathers
+# (measured on v5e: 65k-row gather from (524k, 32) = 0.6 ms vs ~12 ms for the
+# SoA field-by-field take). Ints are stored as f32 (all ids < 2^24, exact);
+# bools as 0/1.
+_VEC3_FIELDS = ("position", "normal", "ratio", "color", "last_position")
+_F32_FIELDS = ("single_pdf", "last_normal_proj", "last_lum", "rmis")
+_INT_FIELDS = ("mat_id", "subspace_id", "eye_label", "last_zone_id", "depth")
+_BOOL_FIELDS = ("is_origin", "is_env", "is_ll_direction", "is_brdf",
+                "last_brdf", "valid")
+PACK_WIDTH = 32  # 15 + 4 + 5 + 6 = 30, padded to one 32-lane tile
+
+
+def pack_matrix(lv: LightVertices) -> jnp.ndarray:
+    """Pack a flat (V,) LightVertices into one (V, 32) f32 matrix."""
+    cols = [getattr(lv, f) for f in _VEC3_FIELDS]
+    cols += [getattr(lv, f)[..., None] for f in _F32_FIELDS]
+    cols += [getattr(lv, f).astype(jnp.float32)[..., None]
+             for f in _INT_FIELDS + _BOOL_FIELDS]
+    m = jnp.concatenate(cols, axis=-1)
+    pad = PACK_WIDTH - m.shape[-1]
+    return jnp.pad(m, ((0, 0), (0, pad)))
+
+
+def unpack_rows(rows: jnp.ndarray) -> LightVertices:
+    """Inverse of pack_matrix for gathered (N, 32) rows."""
+    kw = {}
+    o = 0
+    for f in _VEC3_FIELDS:
+        kw[f] = rows[..., o:o + 3]
+        o += 3
+    for f in _F32_FIELDS:
+        kw[f] = rows[..., o]
+        o += 1
+    for f in _INT_FIELDS:
+        kw[f] = rows[..., o].astype(jnp.int32)
+        o += 1
+    for f in _BOOL_FIELDS:
+        kw[f] = rows[..., o] != 0.0
+        o += 1
+    return LightVertices(**kw)
+
+
 def reshape_flat(lv: LightVertices) -> LightVertices:
     """Collapse the batch axes to one flat vertex axis. The batch rank is
     taken from `valid` (a pure-batch field), so feature axes like xyz

@@ -51,6 +51,14 @@ class SubspaceState:
     # miscalibrates MIS exactly where Gamma is well-trained (measured 5x
     # relMSE blowup on the interior scene).
     inv_occ: jnp.ndarray = None      # (NUM_SUBSPACE,)
+    # derived lookup tables (publish_tables; rebuilt at checkpoint load, not
+    # serialized): gamma_pmf = the conservative-mixed Gamma row pmfs so a
+    # Gamma(e,l) lookup is ONE gather instead of two CMF gathers; alias_pack
+    # fuses the alias-method first stage (prob, idx, pmf_take, pmf_alias)
+    # into one 4-wide row so sampling costs ONE gather instead of four
+    # (big-table gathers measured ~0.5 ms per 65k-lane wavefront on v5e)
+    gamma_pmf: jnp.ndarray = None    # (NUM_SUBSPACE, NUM_SUBSPACE)
+    alias_pack: jnp.ndarray = None   # (NUM_SUBSPACE, NUM_SUBSPACE, 4) f32
     trained: bool = struct.field(pytree_node=False, default=False)
     # which second-stage sampler this state is calibrated for:
     # "mixture" (default; defensive 50/50 uniform+flux), "uniform", or
@@ -130,15 +138,35 @@ def label_light(ss: SubspaceState, pos, normal):
 
 
 def gamma_block(ss: SubspaceState, eye_id, light_id):
-    """Gamma(eye, light) recovered from the row CMF (optixPathTracer.h:173-180).
-
-    Flat-index scalar gathers — gathering whole rows then take_along_axis
-    moves N x NUM_SUBSPACE floats through HBM per call."""
+    """Gamma(eye, light) (optixPathTracer.h:173-180): one gather from the
+    published pmf matrix, else recovered from the row CMF (two gathers)."""
+    if ss.gamma_pmf is not None:
+        return ss.gamma_pmf[eye_id.astype(jnp.int32),
+                            light_id.astype(jnp.int32)]
     flat = ss.cmf_gamma.reshape(-1)
     idx = eye_id.astype(jnp.int32) * NUM_SUBSPACE + light_id.astype(jnp.int32)
     c = flat[idx]
     prev = flat[jnp.maximum(idx - 1, 0)]
     return jnp.where(light_id == 0, c, c - prev)
+
+
+def publish_tables(ss: SubspaceState) -> SubspaceState:
+    """Derive the render-time lookup tables (gamma_pmf, alias_pack) from the
+    serialized state. Called after training and after checkpoint load."""
+    if not ss.trained:
+        return ss
+    pmf = jnp.diff(ss.cmf_gamma, axis=1,
+                   prepend=jnp.zeros((ss.cmf_gamma.shape[0], 1)))
+    pack = None
+    if ss.alias_prob is not None and ss.alias_prob.shape[0] == NUM_SUBSPACE:
+        rows = jnp.arange(NUM_SUBSPACE, dtype=jnp.int32)[:, None]
+        pack = jnp.stack([
+            ss.alias_prob,
+            ss.alias_idx.astype(jnp.float32),       # ids < 2^24, exact
+            pmf,                                    # pmf when j accepted
+            pmf[rows, ss.alias_idx],                # pmf when aliased
+        ], axis=-1)
+    return ss.replace(gamma_pmf=pmf, alias_pack=pack)
 
 
 def gamma_ss(ss: SubspaceState, eye_id, light_id):

@@ -177,11 +177,12 @@ def preprocess(ts: TraceScene, cam_uvw, width: int, height: int,
     if verbose:
         print(f"[train] second stage '{second}' "
               f"(flux DR {sel_stats['flux_dr']:.2f})", flush=True)
-    ss = classify.SubspaceState(eye=eye_cls, light=light_cls, q=q,
-                                cmf_gamma=qgamma.gamma_to_cmf(gamma),
-                                alias_prob=jnp.asarray(aprob),
-                                alias_idx=jnp.asarray(aidx),
-                                inv_occ=inv_occ,
-                                trained=True, second_stage=second)
+    ss = classify.publish_tables(classify.SubspaceState(
+        eye=eye_cls, light=light_cls, q=q,
+        cmf_gamma=qgamma.gamma_to_cmf(gamma),
+        alias_prob=jnp.asarray(aprob),
+        alias_idx=jnp.asarray(aidx),
+        inv_occ=inv_occ,
+        trained=True, second_stage=second))
     stats.seconds["total"] = time.time() - t_all
     return ss, stats
