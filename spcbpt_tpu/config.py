@@ -26,6 +26,18 @@ PRETRACE_CONN_PADDING = 10
 PT_MAX_DEPTH = 30
 SUBPATH_MAX_DEPTH = 50
 
+# Transport-ray backface culling. The reference culls backfaces on radiance
+# rays but NOT on occlusion rays (cuProg.h:402/427/452 set
+# OPTIX_RAY_FLAG_CULL_BACK_FACING_TRIANGLES; :478/:526 do not) — a
+# one-sided-surface world where eye/light tracing and connections sample
+# DIFFERENT path supports. On scenes with thin sheets or smooth normals this
+# makes BDPT/SPCBPT converge to a different image than PT (measured +19%/+50%
+# mean on the cove interior). We deliberately diverge (SURVEY.md "quirks not
+# to replicate"): all transport rays are two-sided, matching the occlusion
+# convention, so every estimator integrates the same path space (backface
+# configurations are consistent absorbers — eval_bsdf is zero there).
+CULL_BACKFACE = False
+
 # Numerical guards
 SCENE_EPSILON = 1e-3  # reference whitted.h SCENE_EPSILON equivalent
 # estimator clamp: reference raygen.cu:43 ISINVALIDVALUE rejects >1e5 or nan

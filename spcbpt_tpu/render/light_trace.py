@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..config import CONNECTION_N, MIN_RR_RATE, SCENE_EPSILON
+from ..config import CONNECTION_N, CULL_BACKFACE, MIN_RR_RATE, SCENE_EPSILON
 from ..ops import bsdf as bsdf_mod
 from ..ops import lights as lights_mod
 from ..scene.scene import TraceScene, local_geometry, trace_closest
@@ -107,7 +107,7 @@ def trace_light_paths(ts: TraceScene, ss: classify.SubspaceState,
 
     def body(c, _):
         last = c["v"]
-        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True)
+        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE)
         geom = local_geometry(ts, hit, c["o"], c["d"])
         # light sub-paths stop on emitters (hit_program.cu:239-244) and misses
         alive = ~c["done"] & hit.valid & (geom["light_id"] < 0)

@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..config import MIN_RR_RATE, PT_MAX_DEPTH, SCENE_EPSILON
+from ..config import CULL_BACKFACE, MIN_RR_RATE, PT_MAX_DEPTH, SCENE_EPSILON
 from ..ops import bsdf as bsdf_mod
 from ..ops import lights as lights_mod
 from ..scene import envmap as env_mod
@@ -104,7 +104,7 @@ def make_pt_step(ts: TraceScene, max_depth: int = PT_MAX_DEPTH):
         )
 
         def body(c, _):
-            hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True)
+            hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE)
             live = ~c["done"]
             miss = ~hit.valid & live
 

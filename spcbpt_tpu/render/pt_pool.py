@@ -18,7 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..config import MIN_RR_RATE, PT_MAX_DEPTH, SCENE_EPSILON
+from ..config import CULL_BACKFACE, MIN_RR_RATE, PT_MAX_DEPTH, SCENE_EPSILON
 from ..ops import bsdf as bsdf_mod
 from ..scene import envmap as env_mod
 from ..scene.scene import (TraceScene, local_geometry, trace_closest,
@@ -89,7 +89,7 @@ def render_pool(ts: TraceScene, cam_uvw, width: int, height: int,
         if presort:
             perm = jnp.argsort(wavefront_key(ts, c["o"], c["d"]))
             c = dict(c, **{k: c[k][perm] for k in lane_keys})
-        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True,
+        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE,
                             sort=False if presort else None)
         live = c["alive"]
         miss = ~hit.valid & live
@@ -229,7 +229,7 @@ def render_waves(ts: TraceScene, cam_uvw, width: int, height: int,
         return jnp.any(c["alive"])
 
     def body(c):
-        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True)
+        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE)
         live = c["alive"]
         miss = ~hit.valid & live
         geom = local_geometry(ts, hit, c["o"], c["d"])

@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..config import (CONNECTION_N, MIN_RR_RATE, SCENE_EPSILON,
+from ..config import (CONNECTION_N, CULL_BACKFACE, MIN_RR_RATE, SCENE_EPSILON,
                       SUBPATH_MAX_DEPTH)
 from ..ops import bsdf as bsdf_mod
 from ..ops import lights as lights_mod
@@ -131,7 +131,7 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
 
         def body(c, _):
             last = c["v"]
-            hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True)
+            hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE)
             geom = local_geometry(ts, hit, c["o"], c["d"])
             live = ~c["done"]
             miss = ~hit.valid & live

@@ -13,7 +13,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..config import CONNECTION_N, MIN_RR_RATE, SCENE_EPSILON
+from ..config import CONNECTION_N, CULL_BACKFACE, MIN_RR_RATE, SCENE_EPSILON
 from ..ops import bsdf as bsdf_mod
 from ..ops import lights as lights_mod
 from ..scene.scene import (TraceScene, local_geometry, trace_closest,
@@ -90,7 +90,7 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
             c = dict(c, **{k: c[k][perm] for k in lane_keys},
                      v=jax.tree_util.tree_map(lambda a: a[perm], c["v"]))
         last = c["v"]
-        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True,
+        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE,
                             sort=False if presort else None)
         geom = local_geometry(ts, hit, c["o"], c["d"])
         live = c["alive"]

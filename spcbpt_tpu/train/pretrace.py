@@ -22,7 +22,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import MIN_RR_RATE, PRETRACE_CONN_PADDING, SCENE_EPSILON
+from ..config import (CULL_BACKFACE, MIN_RR_RATE, PRETRACE_CONN_PADDING,
+                      SCENE_EPSILON)
 from ..ops import bsdf as bsdf_mod
 from ..ops import lights as lights_mod
 from ..scene.scene import TraceScene, local_geometry, trace_closest, visibility
@@ -270,7 +271,7 @@ def make_pretracer(ts: TraceScene, cam_uvw, n_core: int,
             return dict(c, state=st, chosen=chosen, n_resample=n_res)
 
         def body(c, _):
-            hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, True)
+            hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE)
             geom = local_geometry(ts, hit, c["o"], c["d"])
             live = ~c["done"]
             hit_light = hit.valid & (geom["light_id"] >= 0) & live
