@@ -30,6 +30,8 @@ _SLOW = [
     "tests/test_env_scene.py::test_env_spcbpt_matches_pt",
     "tests/test_env_scene.py::test_env_lit_floor",
     "tests/test_convergence.py::test_bdpt_convergence",
+    "tests/test_convergence_interior.py::test_bdpt_interior_convergence",
+    "tests/test_convergence_interior.py::test_spcbpt_trained_path_interior_convergence",
     "tests/test_units.py::test_bdpt_unit_invariant",
     "tests/test_units.py::test_lvc_weights_finite_in_raw_units",
     "tests/test_render.py::test_spcbpt_pool_matches_naive",
