@@ -28,6 +28,22 @@ def main(argv=None):
     p.add_argument("--max-depth", type=int, default=8)
     p.add_argument("--meshes", default="1x1,2x1,4x1,4x2",
                    help="comma list of TILExSPP mesh shapes")
+    p.add_argument("--checkpoint", default=None,
+                   help="trained SubspaceState npz: spcbpt entries run the "
+                        "trained two-stage sampler instead of untrained")
+    p.add_argument("--equal-time", type=float, default=None,
+                   help="seconds per algorithm: after the mesh sweep, "
+                        "accumulate subframes of bdpt+spcbpt on the LARGEST "
+                        "mesh through the sharded code path and report "
+                        "relMSE vs --ref-npz")
+    p.add_argument("--ref-npz", default=None,
+                   help="reference image npz (key 'img', (W*H,3)) for the "
+                        "equal-time relMSE")
+    p.add_argument("--discard", type=float, default=0.001)
+    p.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                   help="'cpu' = virtual host mesh (the validation surface); "
+                        "'default' = whatever jax.devices() returns (real "
+                        "TPU chips on hardware)")
     p.add_argument("--json", default=None)
     args = p.parse_args(argv)
 
@@ -41,10 +57,13 @@ def main(argv=None):
     from ..train import classify
     from .render_cli import resolve_scene
 
-    try:
-        devices = jax.devices("cpu")
-    except RuntimeError:
+    if args.platform == "default":
         devices = jax.devices()
+    else:
+        try:
+            devices = jax.devices("cpu")
+        except RuntimeError:
+            devices = jax.devices()
     print(f"[devices] {len(devices)} x {devices[0].platform}", flush=True)
 
     width, height = map(int, args.dim.lower().split("x"))
@@ -52,6 +71,11 @@ def main(argv=None):
     cam.aspect = width / height
     uvw = cam.uvw()
     ss = classify.untrained_state()
+    if args.checkpoint:
+        from .. import checkpoint as ckpt_mod
+        ss = ckpt_mod.load_subspace_state(args.checkpoint)
+        print(f"[state] trained checkpoint {args.checkpoint} "
+              f"(second stage '{ss.second_stage}')", flush=True)
 
     results = {"scene": args.scene, "dim": args.dim,
                "devices": len(devices), "meshes": {}}
@@ -117,6 +141,45 @@ def main(argv=None):
                   f"({width*height/dt/1e6:.2f} Mpaths/s total)", flush=True)
             assert dev < 0.15, f"estimator mismatch on mesh {shape} {alg}"
         results["meshes"][shape] = entry
+
+    if args.equal_time:
+        # BASELINE config 5 proper: equal-time SPCBPT vs BDPT through the
+        # sharded render path on the largest mesh that fits this host
+        from ..utils.image import rel_mse
+        ref = np.load(args.ref_npz)["img"] if args.ref_npz else None
+        shapes = [tuple(map(int, s.lower().split("x")))
+                  for s in args.meshes.split(",")]
+        t_, s_ = max((t, s) for t, s in shapes if t * s <= len(devices))
+        mesh = par.make_mesh(devices[:t_ * s_], tile=t_, spp=s_)
+        results["equal_time"] = {"mesh": f"{t_}x{s_}",
+                                 "budget_s": args.equal_time, "algs": {}}
+        for alg, uniform in (("bdpt", True), ("spcbpt", False)):
+            fn = jax.jit(lambda ts_, ss_, sub, uniform=uniform:
+                         par.sharded_spcbpt_render(
+                             ts_, ss_, uvw, width, height, sub, mesh,
+                             args.light_paths_per_chip,
+                             max_depth=args.max_depth, uniform=uniform))
+            acc = np.zeros((height, width, 3))
+            img = fn(ts, ss, 0)
+            jax.block_until_ready(img)          # compile outside the budget
+            acc += np.asarray(img).reshape(height, width, 3)
+            n = 1
+            t0 = time.time()
+            while time.time() - t0 < args.equal_time:
+                img = fn(ts, ss, n)
+                jax.block_until_ready(img)
+                acc += np.asarray(img).reshape(height, width, 3)
+                n += 1
+            dt = time.time() - t0
+            out = (acc / n).reshape(-1, 3)
+            e = (rel_mse(out, ref, discard=args.discard)
+                 if ref is not None else None)
+            results["equal_time"]["algs"][alg] = {
+                "relmse": e, "subframes": n, "seconds": dt,
+                "spp_per_pixel": n * s_}
+            print(f"[equal-time {t_}x{s_}] {alg}: "
+                  f"relMSE {e if e is not None else float('nan'):.5f} "
+                  f"at {n} subframes ({dt:.1f}s)", flush=True)
 
     if args.json:
         with open(args.json, "w") as f:
