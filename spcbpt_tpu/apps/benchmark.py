@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--light-depth", type=int, default=8)
     p.add_argument("--train-samples", type=int, default=200_000)
     p.add_argument("--q-samples", type=int, default=None)
+    p.add_argument("--classifier", default="centroid",
+                   choices=["centroid", "nn"],
+                   help="'nn' trains the close-set refinement network on top "
+                        "of Gamma (C21) for the spcbpt entries")
     p.add_argument("--second-stage", default="auto",
                    choices=["auto", "mixture", "uniform", "weighted"])
     p.add_argument("--discard", type=float, default=0.001,
@@ -163,7 +167,8 @@ def main(argv=None):
                     ss_trained, pstats = pipeline.preprocess(
                         ts, (eye, U, V, W), width, height, cfg,
                         lt_paths=min(args.light_paths, 50_000),
-                        lt_depth=args.light_depth, verbose=True)
+                        lt_depth=args.light_depth,
+                        nn_train=args.classifier == "nn", verbose=True)
                     print(f"[train] {time.time()-t0:.0f}s "
                           f"{pstats.seconds}", flush=True)
                     if args.checkpoint:

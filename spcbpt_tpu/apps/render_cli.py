@@ -46,6 +46,11 @@ def build_argparser():
     p.add_argument("--train-samples", type=int, default=200_000,
                    help="pretraced paths for Gamma training")
     p.add_argument("--q-samples", type=int, default=500_000)
+    p.add_argument("--classifier", default="centroid",
+                   choices=["centroid", "nn"],
+                   help="'nn' additionally trains the close-set refinement "
+                        "network (C21; reference network_operator, unused in "
+                        "its main) and samples the blended first stage")
     p.add_argument("--checkpoint", default=None,
                    help="save trained state (npz) here after preprocessing")
     p.add_argument("--resume", default=None,
@@ -121,7 +126,8 @@ def main(argv=None):
             ss, pstats = pipeline.preprocess(
                 ts, (eye, U, V, W), width, height, cfg,
                 lt_paths=min(args.light_paths, 50_000),
-                lt_depth=min(args.light_depth, 8), verbose=True)
+                lt_depth=min(args.light_depth, 8),
+                nn_train=args.classifier == "nn", verbose=True)
             stats["phases"]["preprocess"] = pstats.seconds
             print(f"[train] done: {pstats.seconds}")
             if args.checkpoint:

@@ -33,6 +33,15 @@ def save_subspace_state(path: str, ss: classify.SubspaceState,
     if ss.alias_prob is not None:
         arrays["alias_prob"] = np.asarray(ss.alias_prob)
         arrays["alias_idx"] = np.asarray(ss.alias_idx)
+    if ss.nn is not None:
+        arrays["nn_w1"] = np.asarray(ss.nn.w1)
+        arrays["nn_b1"] = np.asarray(ss.nn.b1)
+        arrays["nn_w2"] = np.asarray(ss.nn.w2)
+        arrays["nn_b2"] = np.asarray(ss.nn.b2)
+        arrays["nn_close_set"] = np.asarray(ss.nn.close_set)
+        arrays["nn_scene_lo"] = np.asarray(ss.nn.scene_lo)
+        arrays["nn_scene_hi"] = np.asarray(ss.nn.scene_hi)
+        arrays["nn_blend"] = np.asarray(ss.nn.blend)
     if film is not None:
         arrays["film_accum"] = np.asarray(film.accum)
         arrays["film_subframe"] = np.asarray(film.subframe)
@@ -60,11 +69,21 @@ def load_subspace_state(path: str) -> classify.SubspaceState:
         # back to pure-weighted rates while sampling from the mixture — a
         # sampler/rate miscalibration. Default legacy states to 'weighted'.
         second = "weighted"
+    nn = None
+    if "nn_w1" in z:
+        from .train import nn_classifier as nn_mod
+        nn = nn_mod.NNTables(
+            w1=jnp.asarray(z["nn_w1"]), b1=jnp.asarray(z["nn_b1"]),
+            w2=jnp.asarray(z["nn_w2"]), b2=jnp.asarray(z["nn_b2"]),
+            close_set=jnp.asarray(z["nn_close_set"]),
+            scene_lo=jnp.asarray(z["nn_scene_lo"]),
+            scene_hi=jnp.asarray(z["nn_scene_hi"]),
+            blend=float(z["nn_blend"]))
     return classify.publish_tables(classify.SubspaceState(
         eye=eye, light=light,
         q=jnp.asarray(z["q"]),
         cmf_gamma=jnp.asarray(z["cmf_gamma"]),
         alias_prob=alias_prob, alias_idx=alias_idx,
-        inv_occ=inv_occ,
+        inv_occ=inv_occ, nn=nn,
         trained=bool(z["trained"]),
         second_stage=second))

@@ -144,12 +144,38 @@ def sample_second_stage_table(s: LVCSampler, light_subspace, state):
     return idx, pmf, s.seg_size[row] > 0, state
 
 
-def sample_first_stage(ss: classify.SubspaceState, eye_subspace, state):
+def sample_first_stage(ss: classify.SubspaceState, eye_subspace, state,
+                       position=None, normal=None):
     """Pick a light subspace from the eye subspace's Gamma row.
 
     Uses O(1) alias tables when published (2 gathers instead of the
     reference's ~10-round CMF binary search, cuProg.h:290-302; identical
-    distribution). Returns (light_subspace, pmf, state)."""
+    distribution). Returns (light_subspace, pmf, state).
+
+    When ss.nn is set (close-set refinement network, train/nn_classifier)
+    and the eye vertex is supplied, samples the blended mixture
+        (1-b) * Gamma_row + b * nn_close(x)
+    and reports its exact pmf — the denominator stays the true sampling
+    density, so the estimator is unbiased for any network."""
+    if ss.nn is not None and position is not None:
+        from ..train import nn_classifier as nn_mod
+        row = eye_subspace.astype(jnp.int32)
+        probs, ids = nn_mod.close_probs(ss.nn, row, position, normal)
+        r_sel, state = rng_mod.next_float(state)
+        r_cl, state = rng_mod.next_float(state)
+        # close-set categorical via row cumsum (K=32 lanes, no gather)
+        cum = jnp.cumsum(probs, axis=-1)
+        k = jnp.sum((cum < r_cl[..., None] * cum[..., -1:]), axis=-1)
+        k = jnp.clip(k, 0, probs.shape[-1] - 1)
+        l_nn = jnp.take_along_axis(ids, k[..., None], axis=-1)[..., 0]
+        l_row, pmf_row_l, state = sample_first_stage(
+            ss.replace(nn=None), eye_subspace, state)
+        b = ss.nn.blend
+        take_nn = r_sel < b
+        l = jnp.where(take_nn, l_nn, l_row).astype(jnp.int32)
+        pmf = ((1.0 - b) * classify.gamma_block(ss, row, l)
+               + b * nn_mod.close_pmf_of(probs, ids, l))
+        return l, pmf, state
     r, state = rng_mod.next_float(state)
     row = eye_subspace.astype(jnp.int32)
     if ss.alias_pack is not None:

@@ -63,7 +63,15 @@ def rate_parts(ss: classify.SubspaceState, eye_label, light_label, lum):
           Gamma/Q * lum * N    — density of the flux-weighted second stage
       uniform:
           Gamma * inv_occ * N  — density of the uniform-in-subspace stage
-          (pmf1 * (1/n_l) * path_count, no flux factor)."""
+          (pmf1 * (1/n_l) * path_count, no flux factor).
+
+    With the close-set network active (ss.nn), the ACTUAL first-stage pmf is
+    position-dependent; these label-level rates deliberately keep the Gamma
+    form: the subspace-cached RMIS recursion is O(1) only because strategy
+    weights depend on vertices through labels alone, and MIS stays unbiased
+    for ANY self-consistent partition of unity — the contribution denominator
+    (lvc.sample_first_stage's exact blended pmf) is what correctness rides
+    on; the weights only set where variance lands."""
     from ..config import NUM_SUBSPACE
     # mix_coeffs is static per state: skip the dead family entirely (XLA
     # cannot fold `u * 0.0` because NaN*0 != 0, so computing it costs real

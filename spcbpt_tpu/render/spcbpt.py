@@ -307,7 +307,9 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
             idx, pmf2, ok_seg, state = sample_uniform(sampler, state)
             pmf1 = jnp.ones_like(pmf2)
         else:
-            lsub, pmf1, state = sample_first_stage(ss, mid.subspace_id, state)
+            lsub, pmf1, state = sample_first_stage(
+                ss, mid.subspace_id, state,
+                position=mid.position, normal=mid.normal)
             if second_stage == "uniform":
                 idx, pmf2, ok_seg, state = sample_second_stage_uniform(
                     sampler, lsub, state)

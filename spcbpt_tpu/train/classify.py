@@ -59,6 +59,10 @@ class SubspaceState:
     # (big-table gathers measured ~0.5 ms per 65k-lane wavefront on v5e)
     gamma_pmf: jnp.ndarray = None    # (NUM_SUBSPACE, NUM_SUBSPACE)
     alias_pack: jnp.ndarray = None   # (NUM_SUBSPACE, NUM_SUBSPACE, 4) f32
+    # optional close-set refinement network (train/nn_classifier.NNTables):
+    # when set, the first stage samples the blended position-dependent
+    # distribution (lvc.sample_first_stage) — reference C21 behind --nn
+    nn: object = None
     trained: bool = struct.field(pytree_node=False, default=False)
     # which second-stage sampler this state is calibrated for:
     # "mixture" (default; defensive 50/50 uniform+flux), "uniform", or

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from flax import struct
 
 from ..config import NUM_SUBSPACE
 
@@ -47,6 +48,60 @@ class NNParams(NamedTuple):
 class NNState(NamedTuple):
     params: NNParams
     close_set: jnp.ndarray  # (S, CLOSE_SET) int32 light-subspace ids (static data)
+
+
+@struct.dataclass
+class NNTables:
+    """Render-time form of the trained network, carried on SubspaceState.nn.
+
+    When present, the first-stage light-subspace pick becomes the mixture
+        p(l | e, x) = (1-blend) * Gamma_mix(e, l)
+                    + blend * softmax_close(e, x)(l)
+    where softmax_close is this network's distribution over the eye
+    subspace's CLOSE_SET nearest light subspaces at the eye vertex x.
+    The reported pmf is this exact mixture, so the estimator stays unbiased;
+    the label-level RMIS strategy weights (rmis.rate_parts) keep using
+    Gamma — any self-consistent partition of unity is a valid MIS weight,
+    the position-dependent part only moves weights off the variance optimum.
+    """
+    w1: jnp.ndarray          # (S, F, H)
+    b1: jnp.ndarray          # (S, H)
+    w2: jnp.ndarray          # (S, H, CLOSE_SET)
+    b2: jnp.ndarray          # (S, CLOSE_SET)
+    close_set: jnp.ndarray   # (S, CLOSE_SET) int32
+    scene_lo: jnp.ndarray    # (3,) for the positional encoding
+    scene_hi: jnp.ndarray    # (3,)
+    blend: float = struct.field(pytree_node=False, default=0.5)
+
+
+def tables_from_state(state: NNState, scene_lo, scene_hi,
+                      blend: float = 0.5) -> NNTables:
+    p = state.params
+    return NNTables(w1=p.w1, b1=p.b1, w2=p.w2, b2=p.b2,
+                    close_set=state.close_set,
+                    scene_lo=jnp.asarray(scene_lo, jnp.float32),
+                    scene_hi=jnp.asarray(scene_hi, jnp.float32),
+                    blend=blend)
+
+
+def close_probs(nt: NNTables, eye_label, position, normal):
+    """Per-lane close-set distribution at an eye vertex.
+    Returns (probs (N, CLOSE_SET) summing to 1, ids (N, CLOSE_SET))."""
+    feats = encode(position, normal, nt.scene_lo, nt.scene_hi)
+    row = jnp.clip(eye_label, 0, nt.w1.shape[0] - 1)
+    h = jax.nn.relu(jnp.einsum("nf,nfh->nh", feats, nt.w1[row],
+                               preferred_element_type=jnp.float32)
+                    + nt.b1[row])
+    logits = jnp.einsum("nh,nhk->nk", h, nt.w2[row],
+                        preferred_element_type=jnp.float32) + nt.b2[row]
+    return jax.nn.softmax(logits / TEMPERATURE, axis=-1), nt.close_set[row]
+
+
+def close_pmf_of(probs, ids, light_subspace):
+    """pmf the close-set distribution assigns to a given light subspace
+    (0 when outside the close set). Shapes: probs/ids (N,K), l (N,)."""
+    match = ids == light_subspace[..., None].astype(ids.dtype)
+    return jnp.sum(jnp.where(match, probs, 0.0), axis=-1)
 
 
 def feature_dim() -> int:
@@ -125,6 +180,66 @@ def second_moment_loss(params: NNParams, close_set, gamma, batch):
     pmf = jnp.where(inside, pmf_net * 0.5 + row_pmf * 0.5, row_pmf)
     den = batch["pdf0"] + pmf * batch["peak"] + 1e-9
     return jnp.mean(batch["f_square"] / den)
+
+
+def train_from_corpus(state: NNState, gamma_mixed, td, a_position, a_normal,
+                      label_a, label_b, scene_lo, scene_hi,
+                      blend: float = 0.5, lr: float = 1e-3,
+                      batch_size: int = 4096, epochs: int = 1,
+                      max_paths: int = 500_000):
+    """Train the close-set network on the pretrace corpus against the SAME
+    second-moment objective as the Gamma matrix (gamma_train.loss_fn), with
+    the render-time BLENDED first-stage density in the denominator:
+        den = pdf0 + sum_c [(1-b) Gamma_mix(e_c,l_c) + b nn(l_c|e_c,x_c)] peak_c
+    Gamma stays frozen; only the network moves. Inputs follow
+    gamma_train.GammaTrainData (f_square/pdf0/peak/valid per path, peak=0 on
+    invalid slots) plus the per-connection endpoints (P,C,3)/(P,C).
+    Returns (NNTables, losses). Reference analogue: network_operator's
+    trainer (device_thrust.cu:1836-2824), driven by train_optimal_E-style
+    batching; unused in the reference's main, wired behind --nn here."""
+    g = jnp.asarray(gamma_mixed)
+    lo = jnp.asarray(scene_lo, jnp.float32)
+    hi = jnp.asarray(scene_hi, jnp.float32)
+    n = min(int(td.f_square.shape[0]), max_paths)
+    opt = optax.chain(optax.zero_nans(), optax.adam(lr))
+    opt_state = opt.init(state.params)
+
+    def loss_fn(params, b):
+        st = NNState(params, state.close_set)
+        pc, cc = b["pos"].shape[0], b["pos"].shape[1]
+        feats = encode(b["pos"].reshape(-1, 3), b["nrm"].reshape(-1, 3),
+                       lo, hi)
+        la = jnp.clip(b["la"].reshape(-1), 0, NUM_SUBSPACE - 1)
+        lb = jnp.clip(b["lb"].reshape(-1), 0, NUM_SUBSPACE - 1)
+        probs, ids = forward(st, la, feats)
+        p_close = close_pmf_of(probs, ids, lb).reshape(pc, cc)
+        p_row = g[la, lb].reshape(pc, cc)
+        p_blend = (1.0 - blend) * p_row + blend * p_close
+        den = b["pdf0"] + jnp.sum(p_blend * b["peak"], axis=1) + 1e-9
+        loss = jnp.where(b["valid"], b["f_square"], 0.0) / den
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(b["valid"]), 1)
+
+    @jax.jit
+    def step(params, opt_state, b):
+        loss, grads = jax.value_and_grad(loss_fn)(params, b)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = state.params
+    losses = []
+    for _ in range(epochs):
+        for i0 in range(0, n - batch_size + 1, batch_size):
+            sl = slice(i0, i0 + batch_size)
+            b = dict(pos=jnp.asarray(a_position[sl]),
+                     nrm=jnp.asarray(a_normal[sl]),
+                     la=jnp.asarray(label_a[sl]),
+                     lb=jnp.asarray(label_b[sl]),
+                     pdf0=td.pdf0[sl], peak=td.peak[sl],
+                     f_square=td.f_square[sl], valid=td.valid[sl])
+            params, opt_state, loss = step(params, opt_state, b)
+            losses.append(float(loss))
+    return tables_from_state(NNState(params, state.close_set), lo, hi,
+                             blend), losses
 
 
 def train(state: NNState, gamma, batches, lr: float = 1e-3):

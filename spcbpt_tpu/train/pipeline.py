@@ -33,6 +33,7 @@ class PreprocessStats:
     n_conns: int = 0
     q_paths: int = 0
     gamma_losses: list = dataclasses.field(default_factory=list)
+    nn_losses: list = dataclasses.field(default_factory=list)
     seconds: dict = dataclasses.field(default_factory=dict)
 
 
@@ -44,7 +45,8 @@ def _concat_batches(batches):
 def preprocess(ts: TraceScene, cam_uvw, width: int, height: int,
                cfg: PretraceConfig | None = None,
                lt_paths: int = 100_000, lt_depth: int = 8,
-               gamma_cfg=None, verbose: bool = False):
+               gamma_cfg=None, nn_train: bool = False,
+               verbose: bool = False):
     """Returns (SubspaceState with trained=True, PreprocessStats)."""
     cfg = cfg or PretraceConfig()
     stats = PreprocessStats()
@@ -171,6 +173,24 @@ def preprocess(ts: TraceScene, cam_uvw, width: int, height: int,
     mixed = np.asarray(gamma) * (1.0 - CONSERVATIVE_RATE) \
         + CONSERVATIVE_RATE / NUM_SUBSPACE
     aprob, aidx = classify.build_alias(mixed)
+
+    # --- 6b. optional close-set refinement network (C21, behind --nn) ---
+    nn_tables = None
+    if nn_train:
+        t0 = time.time()
+        from . import nn_classifier as nn_mod
+        lo = np.asarray(jnp.min(ts.tri_p0, axis=0))
+        hi = np.asarray(jnp.max(ts.tri_p0, axis=0))
+        nn_state = nn_mod.init_params(np.random.default_rng(12345), mixed)
+        nn_tables, nn_losses = nn_mod.train_from_corpus(
+            nn_state, mixed, td, data.a_position, data.a_normal,
+            label_a, label_b, lo, hi)
+        stats.nn_losses = nn_losses
+        stats.seconds["nn"] = time.time() - t0
+        if verbose and nn_losses:
+            print(f"[train] nn close-set refinement: loss "
+                  f"{nn_losses[0]:.4g} -> {nn_losses[-1]:.4g} "
+                  f"({len(nn_losses)} steps)", flush=True)
     from ..render.autotune import select_second_stage
     second, sel_stats = select_second_stage(np.asarray(q),
                                             np.asarray(inv_occ))
@@ -182,7 +202,7 @@ def preprocess(ts: TraceScene, cam_uvw, width: int, height: int,
         cmf_gamma=qgamma.gamma_to_cmf(gamma),
         alias_prob=jnp.asarray(aprob),
         alias_idx=jnp.asarray(aidx),
-        inv_occ=inv_occ,
+        inv_occ=inv_occ, nn=nn_tables,
         trained=True, second_stage=second))
     stats.seconds["total"] = time.time() - t_all
     return ss, stats
