@@ -149,7 +149,10 @@ def get_pdf_from_light_source(ts, light_v, end_position, end_normal):
     if ts.has_env:
         from ..scene import envmap as env_mod
         proj = env_mod.env_project_pdf(ts.env)
-        dir_pdf = (light_v.single_pdf * 0 + proj) * jnp.abs(
+        # env origins have a CONSTANT projected-area pdf (scalar); broadcast
+        # it to the lane shape of single_pdf explicitly
+        proj_lanes = jnp.broadcast_to(proj, light_v.single_pdf.shape)
+        dir_pdf = proj_lanes * jnp.abs(
             vec.dot(light_v.normal, end_normal))
         return jnp.where(light_v.is_env, dir_pdf, area_pdf)
     return area_pdf
