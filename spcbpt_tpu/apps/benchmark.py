@@ -55,9 +55,16 @@ def main(argv=None):
                    help="save/load the trained state npz (skip retraining)")
     p.add_argument("--json", default=None)
     p.add_argument("--save-images", default=None, help="dir for PNGs")
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu"],
+                   help="'cpu' forces the CPU backend via jax.config (the "
+                        "env-var route is too late: sitecustomize registers "
+                        "the TPU plugin at interpreter startup)")
     args = p.parse_args(argv)
 
     import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from ..runtime import setup as _setup
     _setup()
@@ -117,18 +124,37 @@ def main(argv=None):
         ref_acc = np.zeros((width * height, 3))
         ref_cnt = np.zeros((width * height,))
         chunk = 256
-        for s0 in range(0, args.ref_spp, chunk):
+        s_start = 0
+        partial = (args.ref_npz + ".partial.npz") if args.ref_npz else None
+        if partial and os.path.exists(partial):
+            # resume a killed/stalled run: per-chunk seeds are a pure function
+            # of s0, so continuing reproduces the uninterrupted render exactly
+            pz = np.load(partial)
+            if int(pz["chunk"]) == chunk:
+                ref_acc = pz["acc"].astype(np.float64)
+                ref_cnt = pz["cnt"].astype(np.float64)
+                s_start = int(pz["spp_done"])
+                print(f"[ref] resumed {s_start} spp from {partial}",
+                      flush=True)
+        for s0 in range(s_start, args.ref_spp, chunk):
             fsum, count = render_ref_chunk(
                 args.ref_alg, min(chunk, args.ref_spp - s0), 10_000 + s0)
             jax.block_until_ready(fsum)
             ref_acc += np.asarray(fsum)
             ref_cnt += np.asarray(count)
-            print(f"[ref] {s0 + min(chunk, args.ref_spp - s0)}"
-                  f"/{args.ref_spp} spp ({time.time()-t0:.0f}s)", flush=True)
+            done = s0 + min(chunk, args.ref_spp - s0)
+            if partial:
+                np.savez_compressed(partial, acc=ref_acc.astype(np.float32),
+                                    cnt=ref_cnt.astype(np.float32),
+                                    spp_done=done, chunk=chunk)
+            print(f"[ref] {done}/{args.ref_spp} spp ({time.time()-t0:.0f}s)",
+                  flush=True)
         ref = ref_acc / np.maximum(ref_cnt[:, None], 1)
         print(f"[ref] done in {time.time()-t0:.1f}s", flush=True)
         if args.ref_npz:
             np.savez_compressed(args.ref_npz, img=ref.astype(np.float32))
+            if partial and os.path.exists(partial):
+                os.remove(partial)
 
     if args.ref_check_spp:
         # unbiasedness cross-check: mean energy of an independent PT run must
