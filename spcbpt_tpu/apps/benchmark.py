@@ -51,6 +51,9 @@ def main(argv=None):
                         "relMSE (firefly protocol; 0 disables)")
     p.add_argument("--ref-npz", default=None,
                    help="cache the PT reference here (load if it exists)")
+    p.add_argument("--ref-chunk", type=int, default=256,
+                   help="spp per reference chunk; a partial accumulation is "
+                        "checkpointed after each chunk so killed runs resume")
     p.add_argument("--checkpoint", default=None,
                    help="save/load the trained state npz (skip retraining)")
     p.add_argument("--json", default=None)
@@ -123,7 +126,7 @@ def main(argv=None):
         t0 = time.time()
         ref_acc = np.zeros((width * height, 3))
         ref_cnt = np.zeros((width * height,))
-        chunk = 256
+        chunk = args.ref_chunk
         s_start = 0
         partial = (args.ref_npz + ".partial.npz") if args.ref_npz else None
         if partial and os.path.exists(partial):

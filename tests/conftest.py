@@ -27,6 +27,7 @@ import pytest
 # else is quick. New tests default to quick — add them here if they render.
 # ---------------------------------------------------------------------------
 _SLOW = [
+    "tests/test_benchmark_app.py",  # 3 subprocess jax startups
     "tests/test_env_scene.py::test_env_spcbpt_matches_pt",
     "tests/test_env_scene.py::test_env_lit_floor",
     "tests/test_convergence.py::test_bdpt_convergence",
