@@ -18,7 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..render import light_trace, lvc, pt, spcbpt
 from ..utils import rng as rng_mod
@@ -80,7 +80,7 @@ def sharded_pt_render(ts, cam_uvw, width: int, height: int, subframe,
         return jax.lax.pmean(img, "spp")
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(),), out_specs=P("tile"),
-                   check_rep=False)
+                   check_vma=False)
     return fn(ts)
 
 
@@ -116,7 +116,7 @@ def sharded_spcbpt_render(ts, ss, cam_uvw, width: int, height: int, subframe,
         return jax.lax.pmean(img, "spp")
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(), P()), out_specs=P("tile"),
-                   check_rep=False)
+                   check_vma=False)
     return fn(ts, ss)
 
 
@@ -135,6 +135,6 @@ def dp_gamma_train_step(theta, opt_state, batch, opt, mesh: Mesh):
     loss, g = shard_map(
         inner, mesh=mesh,
         in_specs=(jax.tree_util.tree_map(lambda _: P(("tile", "spp")), batch),),
-        out_specs=(P(), P()), check_rep=False)(batch)
+        out_specs=(P(), P()), check_vma=False)(batch)
     updates, new_opt = opt.update(g, opt_state)
     return optax.apply_updates(theta, updates), new_opt, loss
