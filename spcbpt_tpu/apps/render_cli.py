@@ -74,6 +74,11 @@ def resolve_scene(name: str) -> str:
         mode = {"interior": "interior", "interior_lit": "lit",
                 "interior_cove": "cove"}[name]
         return interior_path(mode=mode)
+    if name == "house":
+        # the reference's bundled scene (readme.md run instructions)
+        p = "/root/reference/src/data/house/house_uvrefine2.scene"
+        if os.path.exists(p):
+            return p
     raise SystemExit(f"scene not found: {name}")
 
 
