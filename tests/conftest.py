@@ -47,7 +47,7 @@ _SLOW = [
     "tests/test_ray_walk.py::test_walk_closest_matches_brute[False-True]",
     "tests/test_ray_walk.py::test_walk_closest_matches_brute[False-False]",
     "tests/test_ray_walk.py::test_walk_any_matches_brute[False]",
-    "tests/test_house_scene.py::test_house_builds_and_renders",
+    "tests/test_house_scene.py",
     "tests/test_viewer.py::test_scripted_session_renders_and_saves",
     # keep only the 'weighted' calibration quick: each calibration pays its
     # own ~12 s trained-state module fixture
