@@ -1,16 +1,16 @@
 """BASELINE config 5: multi-chip tiled SPCBPT at 2048x2048, equal-time
 SPCBPT(uniform)=BDPT vs SPCBPT over a device mesh.
 
-On hardware this runs over real chips; in this environment it validates on
-the virtual CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8):
-correctness (estimator equivalence between mesh shapes) plus scaling shape
-(work per chip vs mesh size — on virtual devices wall-clock scaling is
-meaningless, so we report per-chip lane counts and verify bitwise-stable
-estimator means across meshes with identical seed streams).
+On hardware this runs over real chips (--platform default); in this
+environment it validates on a virtual CPU mesh (--platform cpu, the default,
+which self-provisions --cpu-devices virtual devices): correctness (estimator
+equivalence between mesh shapes) plus scaling shape (work per chip vs mesh
+size — on virtual devices wall-clock scaling is meaningless, so we report
+per-chip lane counts and verify estimator means across meshes with identical
+seed streams).
 
 Usage:
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python -m spcbpt_tpu.apps.multichip_bench --dim 2048x2048 --json out.json
+  python -m spcbpt_tpu.apps.multichip_bench --dim 2048x2048 --json out.json
 """
 from __future__ import annotations
 
@@ -44,11 +44,21 @@ def main(argv=None):
                    help="'cpu' = virtual host mesh (the validation surface); "
                         "'default' = whatever jax.devices() returns (real "
                         "TPU chips on hardware)")
+    p.add_argument("--cpu-devices", type=int, default=8,
+                   help="virtual CPU device count for --platform cpu")
     p.add_argument("--json", default=None)
     args = p.parse_args(argv)
 
-    import numpy as np
     import jax
+    if args.platform == "cpu":
+        # Must happen before backend init: merely asking for jax.devices("cpu")
+        # still initializes the registered TPU plugin, which blocks forever
+        # when the remote tunnel is down. jax 0.9 ignores XLA_FLAGS
+        # --xla_force_host_platform_device_count; jax_num_cpu_devices is the
+        # supported virtual-mesh mechanism (also pre-init only).
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    import numpy as np
     import jax.numpy as jnp
     from ..runtime import setup as _setup
     _setup()
@@ -57,13 +67,7 @@ def main(argv=None):
     from ..train import classify
     from .render_cli import resolve_scene
 
-    if args.platform == "default":
-        devices = jax.devices()
-    else:
-        try:
-            devices = jax.devices("cpu")
-        except RuntimeError:
-            devices = jax.devices()
+    devices = jax.devices()
     print(f"[devices] {len(devices)} x {devices[0].platform}", flush=True)
 
     width, height = map(int, args.dim.lower().split("x"))
