@@ -58,6 +58,10 @@ def build_argparser():
     p.add_argument("--stats-json", default=None,
                    help="write render stats as JSON here")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu"],
+                   help="'cpu' forces the CPU backend via jax.config pre-init "
+                        "(the env-var route still initializes the TPU plugin)")
     return p
 
 
@@ -86,6 +90,8 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
 
     import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from ..runtime import setup as _setup
     _setup()
