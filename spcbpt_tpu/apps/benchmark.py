@@ -49,6 +49,13 @@ def main(argv=None):
     p.add_argument("--discard", type=float, default=0.001,
                    help="fraction of largest per-value errors dropped from "
                         "relMSE (firefly protocol; 0 disables)")
+    p.add_argument("--repeats", type=int, default=1,
+                   help="independent renders per algorithm (decorrelated "
+                        "seed blocks); reports per-repeat relMSE + median. "
+                        "SPCBPT-family relMSE at ~30 spp has a measured >5x "
+                        "realization band from correlated firefly blotches "
+                        "(one huge-weight light vertex contaminates many "
+                        "pixels in a subframe), so single draws mislead")
     p.add_argument("--ref-npz", default=None,
                    help="cache the PT reference here (load if it exists)")
     p.add_argument("--ref-chunk", type=int, default=256,
@@ -177,7 +184,7 @@ def main(argv=None):
     algs = args.algs.split(",")
     ss_trained = None
 
-    def render_alg(alg, budget_s=None, spp=None):
+    def render_alg(alg, budget_s=None, spp=None, seed_base=0):
         nonlocal ss_trained
         ss = classify.untrained_state()
         if alg == "spcbpt":
@@ -213,7 +220,7 @@ def main(argv=None):
         if alg == "pt":
             def one(s, acc):
                 fs, ct = pt_pool.render_pool_jit(
-                    ts, eye, U, V, W, width, height, 1, s,
+                    ts, eye, U, V, W, width, height, 1, seed_base + s,
                     max_depth=args.max_depth)
                 return accumulate(acc, fs / jnp.maximum(ct[:, None], 1), s)
         else:
@@ -224,9 +231,10 @@ def main(argv=None):
             build = lvc.make_builder(None if uniform else ss)
 
             def one(s, acc):
-                sampler = build(lt(s + 7919), s)
+                sampler = build(lt(seed_base + s + 7919), seed_base + s)
                 fs, ct = spcbpt_pool.render_pool_jit(
-                    ts, ss, sampler, eye, U, V, W, width, height, 1, s,
+                    ts, ss, sampler, eye, U, V, W, width, height, 1,
+                    seed_base + s,
                     max_depth=args.max_depth, uniform=uniform)
                 return accumulate(acc, fs / jnp.maximum(ct[:, None], 1), s)
 
@@ -250,13 +258,23 @@ def main(argv=None):
 
     for alg in algs:
         print(f"[bench] {alg} ...", flush=True)
-        img, spp_done, dt = render_alg(
-            alg, budget_s=args.equal_time,
-            spp=None if args.equal_time else args.spp)
-        e = rel_mse(img, ref, discard=args.discard)
-        results["algs"][alg] = {"relmse": e, "spp": spp_done, "seconds": dt}
-        print(f"[bench] {alg}: relMSE {e:.5f} at {spp_done} spp "
-              f"({dt:.1f}s)", flush=True)
+        reps = []
+        for r in range(max(1, args.repeats)):
+            img, spp_done, dt = render_alg(
+                alg, budget_s=args.equal_time,
+                spp=None if args.equal_time else args.spp,
+                seed_base=r * 1_000_003)
+            e = rel_mse(img, ref, discard=args.discard)
+            reps.append({"relmse": e, "spp": spp_done, "seconds": dt})
+            print(f"[bench] {alg}[{r}]: relMSE {e:.5f} at {spp_done} spp "
+                  f"({dt:.1f}s)", flush=True)
+        med = sorted(rr["relmse"] for rr in reps)[len(reps) // 2]
+        results["algs"][alg] = {
+            "relmse": med, "spp": reps[0]["spp"],
+            "seconds": sum(rr["seconds"] for rr in reps),
+            "repeats": reps}
+        print(f"[bench] {alg}: median relMSE {med:.5f} over {len(reps)} "
+              f"repeat(s)", flush=True)
         if args.save_images:
             import os
             os.makedirs(args.save_images, exist_ok=True)
