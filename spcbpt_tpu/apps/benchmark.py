@@ -49,6 +49,12 @@ def main(argv=None):
     p.add_argument("--discard", type=float, default=0.001,
                    help="fraction of largest per-value errors dropped from "
                         "relMSE (firefly protocol; 0 disables)")
+    p.add_argument("--clamp", type=float, default=None,
+                   help="progressive firefly clamp: cap each subframe's "
+                        "per-channel radiance at CLAMP*sqrt(subframe+1). "
+                        "Consistent (bias -> 0 as spp grows); cuts the "
+                        "unbounded connection tail the reference leaves "
+                        "unclamped. Off by default (reference parity)")
     p.add_argument("--repeats", type=int, default=1,
                    help="independent renders per algorithm (decorrelated "
                         "seed blocks); reports per-repeat relMSE + median. "
@@ -93,7 +99,7 @@ def main(argv=None):
 
     results = {"scene": args.scene, "dim": args.dim,
                "discard": args.discard, "ref_alg": args.ref_alg,
-               "ref_spp": args.ref_spp, "algs": {}}
+               "ref_spp": args.ref_spp, "clamp": args.clamp, "algs": {}}
 
     def render_ref_chunk(alg, spp, seed_base):
         """(film_sum, counts) for `spp` samples of the reference renderer."""
@@ -222,7 +228,8 @@ def main(argv=None):
                 fs, ct = pt_pool.render_pool_jit(
                     ts, eye, U, V, W, width, height, 1, seed_base + s,
                     max_depth=args.max_depth)
-                return accumulate(acc, fs / jnp.maximum(ct[:, None], 1), s)
+                return accumulate(acc, fs / jnp.maximum(ct[:, None], 1), s,
+                                  clamp_c=args.clamp)
         else:
             from ..render import spcbpt_pool
             uniform = alg == "bdpt"
@@ -236,7 +243,8 @@ def main(argv=None):
                     ts, ss, sampler, eye, U, V, W, width, height, 1,
                     seed_base + s,
                     max_depth=args.max_depth, uniform=uniform)
-                return accumulate(acc, fs / jnp.maximum(ct[:, None], 1), s)
+                return accumulate(acc, fs / jnp.maximum(ct[:, None], 1), s,
+                                  clamp_c=args.clamp)
 
         acc = jnp.zeros((width * height, 3))
         # warm up / compile outside the timed loop
