@@ -15,6 +15,7 @@ gamma_ss == 1).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -118,12 +119,29 @@ def build_alias(gamma: np.ndarray):
 def classify(c: Classifier, pos, normal):
     """argmin_i |p-ci|^2 + diag2*(1 - n.nci)  (classTree_common.h:82-90;
     direction term dropped as in the reference, DIR_JUDGE=0).
-    Computed as a single matmul on (pos, normal) features."""
-    feat = jnp.concatenate([pos, normal * (0.5 * c.diag2)], axis=-1)
-    cfeat = jnp.concatenate([c.centers_pos, c.centers_norm], axis=-1)
+    Computed as a single matmul on (pos, normal) features.
+
+    The matmul MUST run at Precision.HIGHEST: TPU f32 matmuls default to
+    bf16 inputs, and the |ci|^2 - 2 p.ci score cancels catastrophically at
+    bf16 (measured 48.8% argmin flips vs exact f32 on cove light vertices).
+    Labels are the one cross-platform contract of the trained state — a
+    checkpoint trained under one rounding and rendered under another
+    partitions space differently at render time than the Gamma/Q tables
+    assume, which measured 5x relMSE degradation (trained SPCBPT landing
+    WORSE than uniform BDPT). HIGHEST is f32-exact on both platforms and
+    costs nothing at (N,6)x(6,1000)."""
+    # Recenter on the centroid cloud: the score is translation-invariant in
+    # exact math, and |ci|^2 - 2 p.ci loses all label information once
+    # |coords|^2 * eps reaches the inter-centroid score spacing (true for
+    # bf16 at cove scale and even for f32 on large-coordinate scenes).
+    anchor = jnp.mean(c.centers_pos, axis=0)
+    feat = jnp.concatenate([pos - anchor, normal * (0.5 * c.diag2)], axis=-1)
+    cpos = c.centers_pos - anchor
+    cfeat = jnp.concatenate([cpos, c.centers_norm], axis=-1)
     # score_i = |ci|^2 - 2 p.ci - diag2 n.nci   (|p|^2, diag2 const dropped)
-    bias = jnp.sum(c.centers_pos * c.centers_pos, axis=-1)
-    score = bias - 2.0 * feat @ cfeat.T
+    bias = jnp.sum(cpos * cpos, axis=-1)
+    score = bias - 2.0 * jnp.matmul(feat, cfeat.T,
+                                    precision=jax.lax.Precision.HIGHEST)
     return (jnp.argmin(score, axis=-1) + c.label_bias).astype(jnp.int32)
 
 

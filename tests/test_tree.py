@@ -36,3 +36,44 @@ def test_octree_pure_regions_exact():
     t = tree.build_tree(pos, normal, labels, np.ones(n))
     acc = tree.tree_accuracy(t, pos, normal, labels)
     assert acc > 0.99, acc
+
+
+def test_classify_matches_float64_oracle():
+    """classify()'s matmul runs at Precision.HIGHEST: the |ci|^2 - 2 p.ci
+    score cancels catastrophically at bf16 (TPU f32-matmul default input
+    rounding), which measured 48.8% label flips on cove light vertices and
+    broke TPU-trained checkpoints rendered elsewhere. Labels must match an
+    exact float64 nearest-centroid oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spcbpt_tpu.train import classify as cl
+
+    rng = np.random.default_rng(5)
+    n, k = 4096, 257
+    # large coordinate magnitudes + tight centroid spacing = the
+    # cancellation regime that bf16 gets wrong
+    centers = 1000.0 + rng.normal(size=(k, 3)) * 0.5
+    cnorm = rng.normal(size=(k, 3))
+    cnorm /= np.linalg.norm(cnorm, axis=-1, keepdims=True)
+    pos = 1000.0 + rng.normal(size=(n, 3)) * 0.5
+    nrm = rng.normal(size=(n, 3))
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    diag2 = 0.25
+
+    c = cl.Classifier(centers_pos=jnp.asarray(centers, jnp.float32),
+                      centers_norm=jnp.asarray(cnorm * 0.5 * diag2,
+                                               jnp.float32) / (0.5 * diag2),
+                      diag2=jnp.asarray(diag2, jnp.float32))
+    got = np.asarray(cl.classify(c, jnp.asarray(pos, jnp.float32),
+                                 jnp.asarray(nrm, jnp.float32)))
+
+    # float64 oracle of the same f32-quantized inputs
+    p64 = pos.astype(np.float32).astype(np.float64)
+    c64 = centers.astype(np.float32).astype(np.float64)
+    n64 = (nrm.astype(np.float32) * np.float32(0.5 * diag2)).astype(np.float64)
+    cn64 = cnorm.astype(np.float32).astype(np.float64)
+    score = (c64 * c64).sum(-1)[None, :] - 2.0 * (
+        p64 @ c64.T + n64 @ cn64.T)
+    want = score.argmin(axis=-1)
+    agree = (got == want).mean()
+    assert agree > 0.999, agree
