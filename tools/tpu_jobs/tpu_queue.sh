@@ -1,0 +1,99 @@
+#!/bin/bash
+# Round-3 TPU job queue: waits for the axon tunnel, then runs each job with
+# a log-staleness watchdog (stalled tunnel => kill job, wait, relaunch; the
+# jobs checkpoint their progress so relaunches resume).
+cd /root/repo
+
+probe() {
+  timeout 150 python -c "
+import jax, jax.numpy as jnp
+y=(jnp.ones((128,128))@jnp.ones((128,128))).block_until_ready()
+print('TPU_UP')" 2>/dev/null | grep -q TPU_UP
+}
+
+wait_tpu() {
+  until probe; do
+    echo "[queue] $(date -u +%H:%M:%S) tunnel down, retry in 180s" >> /tmp/tpu_queue.log
+    sleep 180
+  done
+  echo "[queue] $(date -u +%H:%M:%S) tunnel UP" >> /tmp/tpu_queue.log
+}
+
+# run_watched NAME LOG STALL_S TRIES CMD...
+run_watched() {
+  local name=$1 log=$2 stall=$3 tries=$4; shift 4
+  local try=0
+  while [ $try -lt $tries ]; do
+    try=$((try+1))
+    wait_tpu
+    echo "[queue] $(date -u +%H:%M:%S) start $name (try $try): $*" >> /tmp/tpu_queue.log
+    setsid "$@" >> "$log" 2>&1 &
+    local pid=$!
+    while kill -0 $pid 2>/dev/null; do
+      sleep 60
+      local age=$(( $(date +%s) - $(stat -c %Y "$log" 2>/dev/null || date +%s) ))
+      if [ $age -gt $stall ]; then
+        echo "[queue] $(date -u +%H:%M:%S) $name stalled (${age}s quiet) — killing pg $pid" >> /tmp/tpu_queue.log
+        kill -TERM -$pid 2>/dev/null; sleep 5; kill -KILL -$pid 2>/dev/null
+        break
+      fi
+    done
+    wait $pid; local rc=$?
+    echo "[queue] $(date -u +%H:%M:%S) $name exited rc=$rc" >> /tmp/tpu_queue.log
+    if [ $rc -eq 0 ]; then return 0; fi
+  done
+  echo "[queue] $name FAILED after $tries tries" >> /tmp/tpu_queue.log
+  return 1
+}
+
+echo "[queue] === queue start $(date -u) ===" >> /tmp/tpu_queue.log
+
+# 1) config-4: 1024^2 equal-time on cove (ref render resumes via .partial.npz)
+run_watched config4 /tmp/config4_1024.log 1800 6 \
+  timeout 18000 python -m spcbpt_tpu.apps.benchmark \
+    --scene interior_cove --dim 1024x1024 --ref-alg bdpt --ref-spp 1024 \
+    --ref-check-spp 1024 --equal-time 180 --algs pt,bdpt,spcbpt --repeats 3 \
+    --train-samples 2000000 --ref-npz /tmp/cove_ref1024_bdpt.npz \
+    --checkpoint /tmp/cove_ck1024.npz --json /tmp/config4_1024.json \
+    --save-images /tmp/config4_1024_imgs
+
+# 2) NN A/B on the TPU (short; needs only the 256^2 ref + ckpt, both cached)
+run_watched nn_ab /tmp/nn_ab_tpu.log 1800 3 \
+  timeout 7200 python /tmp/nn_ab.py
+
+# 3) config-5 reference at 2048^2 (resumable; needs cove_ck1024 from job 1)
+run_watched ref2048 /tmp/ref2048.log 1800 6 \
+  timeout 14400 python /tmp/gen_ref_2048.py 96
+
+# 4) config-5 equal-time on the real chip
+run_watched config5 /tmp/config5_tpu.log 1800 4 \
+  timeout 7200 python -m spcbpt_tpu.apps.multichip_bench \
+    --scene interior_cove --dim 2048x2048 --platform default --meshes 1x1 \
+    --max-depth 12 --light-paths-per-chip 65536 --equal-time 300 \
+    --checkpoint /tmp/cove_ck1024.npz --ref-npz /tmp/cove_ref2048.npz \
+    --json /tmp/config5_tpu.json
+
+echo "[queue] === queue done $(date -u) ===" >> /tmp/tpu_queue.log
+
+# 5) parity artifact on the reference's own bundled scene (119k tris, env map)
+run_watched house /tmp/house_eq.log 1800 4 \
+  timeout 14400 python -m spcbpt_tpu.apps.benchmark \
+    --scene house \
+    --dim 512x512 --ref-alg bdpt --ref-spp 1024 --ref-chunk 64 \
+    --ref-check-spp 512 \
+    --equal-time 60 --algs pt,bdpt,spcbpt --repeats 3 --train-samples 2000000 \
+    --ref-npz /tmp/house_ref512.npz --checkpoint /tmp/house_ck.npz \
+    --json /tmp/house_eq.json --save-images /tmp/house_eq_imgs
+
+echo "[queue] === house done $(date -u) ===" >> /tmp/tpu_queue.log
+
+# 6) validate bench.py (incl. new large-scene extras) before the driver does
+run_watched bench /tmp/bench_r3.log 600 3 \
+  timeout 700 python bench.py
+echo "[queue] === bench done $(date -u) ===" >> /tmp/tpu_queue.log
+
+# 7) TPU replication of the CPU per-spp probe (same seeds): discriminates
+# realization luck vs a platform-systematic estimator difference
+run_watched tpu_probe /tmp/tpu_probe34.log 1200 3 \
+  timeout 7200 python /tmp/tpu_probe34.py
+echo "[queue] === tpu_probe done $(date -u) ===" >> /tmp/tpu_queue.log
