@@ -94,7 +94,10 @@ def theta_from_gamma(gamma, eps: float = 1e-6):
     return jnp.log(g / (1.0 - g))
 
 
-def loss_fn(theta, batch: GammaTrainData):
+def loss_sum_fn(theta, batch: GammaTrainData):
+    """Unnormalized loss: (sum of per-path losses, valid count). Data-parallel
+    callers psum both parts so the global mean is exact for UNEVEN per-shard
+    valid counts (a pmean of per-shard means is not)."""
     e = gamma_from_theta(theta).reshape(-1)
     pdf_sum = jnp.sum(e[batch.label_e] * batch.peak, axis=1)
     # epsilon-floored denominator: build_train_data normalizes the dataset so
@@ -102,7 +105,12 @@ def loss_fn(theta, batch: GammaTrainData):
     # enough: valid lanes can have den ~ 0, and d(f/den) = -f/den^2 hits 0/0.)
     den = batch.pdf0 + pdf_sum + 1e-9
     loss = jnp.where(batch.valid, batch.f_square, 0.0) / den
-    return jnp.sum(loss) / jnp.maximum(jnp.sum(batch.valid), 1)
+    return jnp.sum(loss), jnp.sum(batch.valid)
+
+
+def loss_fn(theta, batch: GammaTrainData):
+    s, c = loss_sum_fn(theta, batch)
+    return s / jnp.maximum(c, 1)
 
 
 def train_gamma(gamma_init, td: GammaTrainData, lr: float = 0.01,

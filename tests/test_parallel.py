@@ -92,18 +92,69 @@ def test_sharded_spcbpt_render_runs(cornell):
     assert img.sum() > 0.0
 
 
+def test_sharded_spcbpt_trained_equals_sequential_tiles(cornell):
+    """Exact sequential-equivalence for the estimator actually shipped for
+    config 5 (VERDICT r3 weak #2): trained two-stage sampler (alias_pack
+    first stage + presampled mixture tables), connection_n=3, per-chip LVC —
+    the sharded render must bit-for-bit reproduce the same per-chip bodies
+    run sequentially on one device."""
+    from spcbpt_tpu.render import light_trace, lvc, spcbpt
+
+    ts, cam_uvw = cornell
+    ss = classify.synthetic_trained_state(ts, seed=3)
+    assert ss.trained and lvc.table_mode_for(ss) == "mixture"
+    width, height = 16, 8
+    n_tile, n_spp = 2, 2
+    mesh = ptile.make_mesh(jax.devices("cpu")[:4], tile=n_tile, spp=n_spp)
+    lpp, ldepth, mdepth, conn = 32, 3, 3, 3
+    subframe = 0
+
+    img = np.asarray(ptile.sharded_spcbpt_render(
+        ts, ss, cam_uvw, width, height, subframe, mesh,
+        light_paths_per_chip=lpp, light_depth=ldepth, max_depth=mdepth,
+        connection_n=conn, uniform=False))
+    assert img.shape == (width * height, 3)
+    assert np.isfinite(img).all()
+    assert img.sum() > 0.0
+
+    eye, U, V, W = [jnp.asarray(x, jnp.float32) for x in cam_uvw]
+    rows = height // n_tile
+    parts = []
+    for ti in range(n_tile):
+        streams = []
+        for si in range(n_spp):
+            chip = ti * n_spp + si
+            frame = jnp.uint32(subframe * 65536 + chip)
+            lv = light_trace.trace_light_paths(ts, ss, lpp, frame,
+                                               max_depth=ldepth)
+            sampler = lvc.build_sampler(lv, table_mode=lvc.table_mode_for(ss),
+                                        table_seed=frame)
+            o, d, state = ptile._block_camera_rays(
+                eye, U, V, W, width, height, rows,
+                jnp.asarray(ti), jnp.asarray(si), subframe)
+            step = spcbpt.make_spcbpt_step(ts, ss, sampler, mdepth, conn,
+                                           False)
+            streams.append(np.asarray(step(o, d, state)))
+        parts.append(np.mean(streams, axis=0))
+    ref = np.concatenate(parts, axis=0)
+    np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_dp_gamma_step_matches_single_device():
     rng = np.random.RandomState(0)
     p, c = 64, 4
+    # UNEVEN per-shard validity (real batches are ragged): the dp step psums
+    # unnormalized loss sums + valid counts, so the global mean and its
+    # gradient are exact regardless of how validity distributes over shards
+    valid = rng.rand(p) < 0.6
+    valid[:8] = False  # make the first shard fully invalid for good measure
+    assert valid.sum() > 0
     batch = gamma_train.GammaTrainData(
         f_square=jnp.asarray(rng.rand(p)),
         pdf0=jnp.asarray(rng.rand(p) + 0.1),
         peak=jnp.asarray(rng.rand(p, c)),
         label_e=jnp.asarray(rng.randint(0, NUM_SUBSPACE, (p, c)), jnp.int32),
-        # all-valid: dp_gamma_train_step pmeans per-shard losses, each
-        # normalized by its own valid count — equal to the global loss only
-        # when shards carry equal valid counts
-        valid=jnp.ones((p,), bool),
+        valid=jnp.asarray(valid),
     )
     theta = jnp.zeros((NUM_SUBSPACE, NUM_SUBSPACE))
     opt = optax.adam(0.01)
