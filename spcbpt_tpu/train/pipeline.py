@@ -179,8 +179,14 @@ def preprocess(ts: TraceScene, cam_uvw, width: int, height: int,
     if nn_train:
         t0 = time.time()
         from . import nn_classifier as nn_mod
-        lo = np.asarray(jnp.min(ts.tri_p0, axis=0))
-        hi = np.asarray(jnp.max(ts.tri_p0, axis=0))
+        # scene AABB over all three triangle vertices (p0, p0+e1, p0+e2) —
+        # min/max of p0 alone lets boundary eye vertices fall outside
+        # [lo, hi] and skews the positional encoding baked into checkpoints
+        # (ADVICE r3)
+        verts = jnp.concatenate([ts.tri_p0, ts.tri_p0 + ts.tri_e1,
+                                 ts.tri_p0 + ts.tri_e2])
+        lo = np.asarray(jnp.min(verts, axis=0))
+        hi = np.asarray(jnp.max(verts, axis=0))
         nn_state = nn_mod.init_params(np.random.default_rng(12345), mixed)
         nn_tables, nn_losses = nn_mod.train_from_corpus(
             nn_state, mixed, td, data.a_position, data.a_normal,

@@ -62,6 +62,14 @@ _SLOW = [
     "tests/test_parallel.py::test_sharded_spcbpt_render_runs",
     "tests/test_parallel.py::test_sharded_pt_spp_axis_is_mean_of_streams",
     "tests/test_parallel.py::test_sharded_pt_equals_sequential_tiles",
+    "tests/test_parallel.py::test_sharded_spcbpt_trained_equals_sequential_tiles",
+    "tests/test_walk_parts.py",
+    "tests/test_rmis_oracle.py::test_emitter_hit_matches_oracle[mixture",
+    "tests/test_rmis_oracle.py::test_emitter_hit_matches_oracle[uniform",
+    "tests/test_convergence_interior.py::test_pt_interior_convergence",
+    "tests/test_nn_classifier.py::test_blended_first_stage_pmf_matches_histogram",
+    "tests/test_tile_trace.py::test_closest_matches_brute[300",
+    "tests/test_tile_trace.py::test_closest_matches_brute[1200",
 ]
 
 

@@ -14,6 +14,13 @@ Recorded values (2026-08-16, CPU, seeds as below):
   pt   relMSE 0.0863
   bdpt relMSE 0.0240  (uniform-connection SPCBPT pool = classic BDPT)
 
+Golden provenance (ADVICE r3): cornell_pt_32.npz was regenerated at commit
+b3700f1 under the two-sided transport convention (config.CULL_BACKFACE =
+False — every transport ray treats backfaces as consistent absorbers; the
+pre-b3700f1 golden used the reference's one-sided radiance-ray culling).
+Any future regeneration must note the convention commit here, or a silent
+convention flip becomes unauditable.
+
 Reference semantics: the Space-toggle A/B convergence check of the
 reference (optixPathTracer.cpp:198-208), made quantitative per SURVEY.md §4.
 """

@@ -59,11 +59,11 @@ run_watched config4 /tmp/config4_1024.log 1800 6 \
 
 # 2) NN A/B on the TPU (short; needs only the 256^2 ref + ckpt, both cached)
 run_watched nn_ab /tmp/nn_ab_tpu.log 1800 3 \
-  timeout 7200 python /tmp/nn_ab.py
+  timeout 7200 python tools/tpu_jobs/nn_ab.py
 
 # 3) config-5 reference at 2048^2 (resumable; needs cove_ck1024 from job 1)
 run_watched ref2048 /tmp/ref2048.log 1800 6 \
-  timeout 14400 python /tmp/gen_ref_2048.py 96
+  timeout 14400 python tools/tpu_jobs/gen_ref_2048.py 96
 
 # 4) config-5 equal-time on the real chip
 run_watched config5 /tmp/config5_tpu.log 1800 4 \
@@ -95,5 +95,5 @@ echo "[queue] === bench done $(date -u) ===" >> /tmp/tpu_queue.log
 # 7) TPU replication of the CPU per-spp probe (same seeds): discriminates
 # realization luck vs a platform-systematic estimator difference
 run_watched tpu_probe /tmp/tpu_probe34.log 1200 3 \
-  timeout 7200 python /tmp/tpu_probe34.py
+  timeout 7200 python tools/tpu_jobs/tpu_probe34.py
 echo "[queue] === tpu_probe done $(date -u) ===" >> /tmp/tpu_queue.log
