@@ -329,7 +329,8 @@ def walk_closest(cs: ClusterSet, origins, dirs, tmin, tmax,
     """Closest-hit traversal; same contract as tile_trace.tile_closest."""
     ray_perm = None
     if sort_rays:
-        key = tile_trace.ray_sort_key(cs.cmin, cs.cmax, origins, dirs)
+        key = tile_trace.ray_sort_key_live(cs.cmin, cs.cmax, origins,
+                                           dirs, tmin, tmax)
         ray_perm = jnp.argsort(key).astype(jnp.int32)
         origins, dirs = origins[ray_perm], dirs[ray_perm]
         tmin, tmax = tmin[ray_perm], tmax[ray_perm]
@@ -387,7 +388,8 @@ def walk_any(cs: ClusterSet, origins, dirs, tmin, tmax, tile: int = 256,
     No back-face culling (reference cuProg.h:478)."""
     ray_perm = None
     if sort_rays:
-        key = tile_trace.ray_sort_key(cs.cmin, cs.cmax, origins, dirs)
+        key = tile_trace.ray_sort_key_live(cs.cmin, cs.cmax, origins,
+                                           dirs, tmin, tmax)
         ray_perm = jnp.argsort(key).astype(jnp.int32)
         origins, dirs = origins[ray_perm], dirs[ray_perm]
         tmin, tmax = tmin[ray_perm], tmax[ray_perm]

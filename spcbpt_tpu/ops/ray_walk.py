@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .clusters import ClusterSet
 from .intersect import Hit
-from .tile_trace import ray_sort_key
+from .tile_trace import ray_sort_key, ray_sort_key_live
 
 _BIG = 1e30
 _EPS_DET = 1e-10
@@ -267,7 +267,8 @@ def walk_closest(cs: ClusterSet, origins, dirs, tmin, tmax,
     """Closest-hit traversal; contract of ops/tile_trace.tile_closest."""
     ray_perm = None
     if sort_rays:
-        key = ray_sort_key(cs.cmin, cs.cmax, origins, dirs)
+        key = ray_sort_key_live(cs.cmin, cs.cmax, origins, dirs,
+                                tmin, tmax)
         ray_perm = jnp.argsort(key).astype(jnp.int32)
         origins, dirs = origins[ray_perm], dirs[ray_perm]
         tmin, tmax = tmin[ray_perm], tmax[ray_perm]
@@ -330,7 +331,7 @@ def walk_closest_parts(parts, origins, dirs, tmin, tmax,
     if sort_rays:
         cmin = jnp.concatenate([p.cmin for p in parts])
         cmax = jnp.concatenate([p.cmax for p in parts])
-        key = ray_sort_key(cmin, cmax, origins, dirs)
+        key = ray_sort_key_live(cmin, cmax, origins, dirs, tmin, tmax)
         ray_perm = jnp.argsort(key).astype(jnp.int32)
         origins, dirs = origins[ray_perm], dirs[ray_perm]
         tmin, tmax = tmin[ray_perm], tmax[ray_perm]
@@ -368,7 +369,7 @@ def walk_any_parts(parts, origins, dirs, tmin, tmax,
     if sort_rays:
         cmin = jnp.concatenate([p.cmin for p in parts])
         cmax = jnp.concatenate([p.cmax for p in parts])
-        key = ray_sort_key(cmin, cmax, origins, dirs)
+        key = ray_sort_key_live(cmin, cmax, origins, dirs, tmin, tmax)
         ray_perm = jnp.argsort(key).astype(jnp.int32)
         origins, dirs = origins[ray_perm], dirs[ray_perm]
         tmin, tmax = tmin[ray_perm], tmax[ray_perm]
@@ -392,7 +393,8 @@ def walk_any(cs: ClusterSet, origins, dirs, tmin, tmax,
     No back-face culling (reference cuProg.h:478)."""
     ray_perm = None
     if sort_rays:
-        key = ray_sort_key(cs.cmin, cs.cmax, origins, dirs)
+        key = ray_sort_key_live(cs.cmin, cs.cmax, origins, dirs,
+                                tmin, tmax)
         ray_perm = jnp.argsort(key).astype(jnp.int32)
         origins, dirs = origins[ray_perm], dirs[ray_perm]
         tmin, tmax = tmin[ray_perm], tmax[ray_perm]

@@ -87,6 +87,17 @@ def ray_sort_key(cmin, cmax, origins, dirs, bits: int = 5):
     return (octant << (3 * bits)) | morton
 
 
+def ray_sort_key_live(cmin, cmax, origins, dirs, tmin, tmax, bits: int = 5):
+    """ray_sort_key with DEAD lanes (tmax < tmin, the masked-lane convention)
+    sorted to the end: masked connection/occlusion lanes then pack into whole
+    rows/tiles whose cluster unions are empty — the walk kernels skip them in
+    one round instead of paying for each row's live minority."""
+    key = ray_sort_key(cmin, cmax, origins, dirs, bits)
+    dead = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), key.shape) \
+        < jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), key.shape)
+    return key | (dead.astype(jnp.int32) << 24)
+
+
 def _pad_rays(origins, dirs, tmin, tmax, tile):
     n = origins.shape[0]
     pad = (-n) % tile
@@ -343,7 +354,8 @@ def tile_closest(cs: ClusterSet, origins, dirs, tmin, tmax,
     coherent)."""
     ray_perm = None
     if sort_rays:
-        key = ray_sort_key(cs.cmin, cs.cmax, origins, dirs)
+        key = ray_sort_key_live(cs.cmin, cs.cmax, origins, dirs,
+                                tmin, tmax)
         ray_perm = jnp.argsort(key).astype(jnp.int32)
         origins, dirs = origins[ray_perm], dirs[ray_perm]
         tmin, tmax = tmin[ray_perm], tmax[ray_perm]
@@ -416,7 +428,8 @@ def tile_any(cs: ClusterSet, origins, dirs, tmin, tmax, tile: int = 64,
     [tmin, tmax]. No back-face culling (reference cuProg.h:478)."""
     ray_perm = None
     if sort_rays:
-        key = ray_sort_key(cs.cmin, cs.cmax, origins, dirs)
+        key = ray_sort_key_live(cs.cmin, cs.cmax, origins, dirs,
+                                tmin, tmax)
         ray_perm = jnp.argsort(key).astype(jnp.int32)
         origins, dirs = origins[ray_perm], dirs[ray_perm]
         tmin, tmax = tmin[ray_perm], tmax[ray_perm]

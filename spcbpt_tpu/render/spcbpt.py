@@ -335,20 +335,33 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
     target_all = jnp.where(lv_all.is_env[..., None],
                            pos_all - 10.0 * _env_r(ts) * lv_all.normal,
                            lv_all.position)
+    # Evaluate contribution + pmf BEFORE the occlusion walk (one batched
+    # connection_n*n connect_vertex call instead of connection_n slices) so
+    # lanes that cannot contribute — zero BSDF/geometry/RMIS weight, empty
+    # segment, invalid vertex, zero pmf — are masked OUT of the walk: their
+    # tmax drops below tmin and the kernel's per-row pruning never visits a
+    # cluster for them (visibility mask= contract).
+    eye_all = _ConnEye(
+        jax.tree_util.tree_map(lambda a: jnp.tile(a, (connection_n,) + (1,) * (a.ndim - 1)), mid),
+        jnp.tile(eye_ratio, (connection_n, 1)))
+    contrib_all = connect_vertex(ts, ss, eye_all, lv_all)
+    pmf1_all = jnp.concatenate([jnp.broadcast_to(d[1], (n,)) for d in draws])
+    pmf2_all = jnp.concatenate([jnp.broadcast_to(d[2], (n,)) for d in draws])
+    ok_seg_all = jnp.concatenate([jnp.broadcast_to(d[3], (n,)) for d in draws])
+    pmf_all = sampler.path_count.astype(jnp.float32) * pmf1_all * pmf2_all
+    can_contribute = (ok_seg_all & lv_all.valid & (pmf_all > 0.0)
+                      & jnp.any(contrib_all != 0.0, axis=-1))
     # the connection wavefront's directions are unrelated to the pool's
     # presorted bounce rays — always sort it by its OWN coherence key
     # (argsort is ~free on TPU; unsorted incoherent any-hit measured ~2.5x
     # slower at 196k rays)
-    vis_all = visibility(ts, pos_all, target_all, SCENE_EPSILON, sort=None)
-    for k, (idx, pmf1, pmf2, ok_seg) in enumerate(draws):
-        lv = jax.tree_util.tree_map(lambda a: a[k * n:(k + 1) * n], lv_all)
-        vis = vis_all[k * n:(k + 1) * n]
-        pmf = sampler.path_count.astype(jnp.float32) * pmf1 * pmf2
-        contrib = connect_vertex(ts, ss, eye_for_conn, lv)
-        ok = vis & ok_seg & lv.valid & (pmf > 0.0)
-        total = total + jnp.where(ok[..., None],
-                                  contrib / jnp.maximum(pmf, 1e-30)[..., None],
-                                  0.0)
+    vis_all = visibility(ts, pos_all, target_all, SCENE_EPSILON, sort=None,
+                         mask=can_contribute)
+    ok_all = can_contribute & vis_all
+    term = jnp.where(ok_all[..., None],
+                     contrib_all / jnp.maximum(pmf_all, 1e-30)[..., None],
+                     0.0)
+    total = jnp.sum(term.reshape(connection_n, n, 3), axis=0)
     return total, state
 
 

@@ -191,13 +191,22 @@ def trace_any(ts: TraceScene, origins, dirs, tmin, tmax,
 
 
 def visibility(ts: TraceScene, pos_a, pos_b, eps: float = 1e-3,
-               sort: bool | None = None):
+               sort: bool | None = None, mask=None):
     """True if the segment a->b is unoccluded (reference visibilityTest,
-    cuProg.h:463-487)."""
+    cuProg.h:463-487).
+
+    mask (optional, bool (...,)): lanes where mask is False are not traced —
+    their tmax is set below tmin so the walk kernels' row pruning skips them
+    entirely (ops/ray_walk._pad dead-lane convention); the returned value for
+    those lanes is unspecified. Callers use this to skip occlusion work for
+    connections whose contribution is already known to be zero."""
     d = pos_b - pos_a
     dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-30))
     dirs = d / dist[..., None]
-    occ = trace_any(ts, pos_a, dirs, jnp.full_like(dist, eps), dist - eps,
+    tmax = dist - eps
+    if mask is not None:
+        tmax = jnp.where(mask, tmax, -1.0)
+    occ = trace_any(ts, pos_a, dirs, jnp.full_like(dist, eps), tmax,
                     sort=sort)
     return ~occ
 
