@@ -48,6 +48,12 @@ run_watched() {
 
 echo "[queue] === queue start $(date -u) ===" >> /tmp/tpu_queue.log
 
+# 0) validate the restaged bench.py on the real chip FIRST (quick; the
+# round's #1 deliverable is a driver-parsed >=50 Mrays/s line)
+run_watched bench /tmp/bench_r4.log 600 3 \
+  timeout 700 python bench.py
+echo "[queue] === bench done $(date -u) ===" >> /tmp/tpu_queue.log
+
 # 1) config-4: 1024^2 equal-time on cove (ref render resumes via .partial.npz)
 run_watched config4 /tmp/config4_1024.log 1800 6 \
   timeout 18000 python -m spcbpt_tpu.apps.benchmark \
@@ -86,11 +92,6 @@ run_watched house /tmp/house_eq.log 1800 4 \
     --json /tmp/house_eq.json --save-images /tmp/house_eq_imgs
 
 echo "[queue] === house done $(date -u) ===" >> /tmp/tpu_queue.log
-
-# 6) validate bench.py (incl. new large-scene extras) before the driver does
-run_watched bench /tmp/bench_r3.log 600 3 \
-  timeout 700 python bench.py
-echo "[queue] === bench done $(date -u) ===" >> /tmp/tpu_queue.log
 
 # 7) TPU replication of the CPU per-spp probe (same seeds): discriminates
 # realization luck vs a platform-systematic estimator difference
