@@ -54,6 +54,11 @@ run_watched bench /tmp/bench_r4.log 600 3 \
   timeout 700 python bench.py
 echo "[queue] === bench done $(date -u) ===" >> /tmp/tpu_queue.log
 
+# 0.5) per-spp frame-cost table post occlusion-mask change (VERDICT #5)
+run_watched frame_cost /tmp/frame_cost.log 900 3 \
+  timeout 1800 python tools/tpu_jobs/frame_cost.py
+echo "[queue] === frame_cost done $(date -u) ===" >> /tmp/tpu_queue.log
+
 # 1) config-4: 1024^2 equal-time on cove (ref render resumes via .partial.npz)
 run_watched config4 /tmp/config4_1024.log 1800 6 \
   timeout 18000 python -m spcbpt_tpu.apps.benchmark \
