@@ -107,7 +107,10 @@ def trace_light_paths(ts: TraceScene, ss: classify.SubspaceState,
 
     def body(c, _):
         last = c["v"]
-        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE)
+        # dead-lane tmax: RR-terminated paths would otherwise re-trace the
+        # same ray every remaining scan step (see render/pt.py body note)
+        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON,
+                            jnp.where(c["done"], -1.0, 1e16), CULL_BACKFACE)
         geom = local_geometry(ts, hit, c["o"], c["d"])
         # light sub-paths stop on emitters (hit_program.cu:239-244) and misses
         alive = ~c["done"] & hit.valid & (geom["light_id"] < 0)

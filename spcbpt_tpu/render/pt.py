@@ -32,11 +32,14 @@ from ..utils import vec
 from . import common
 
 
-def _nee(ts: TraceScene, geom, v_dir, throughput, state, sort=None):
+def _nee(ts: TraceScene, geom, v_dir, throughput, state, sort=None,
+         mask=None):
     """Next-event estimation at a surface hit (hit_program.cu:462-525).
     Returns (contribution, state); contribution already includes the
     visibility test (the reference defers the shadow ray to raygen).
-    sort=False skips the traversal-internal ray sort (for presorted pools)."""
+    sort=False skips the traversal-internal ray sort (for presorted pools).
+    mask: lanes where False are not shadow-traced (dead-lane tmax
+    convention); their contribution is zeroed."""
     ls, state = lights_mod.sample_light(ts, state)
     P = geom["P"]
     N = geom["Ns"]
@@ -77,13 +80,18 @@ def _nee(ts: TraceScene, geom, v_dir, throughput, state, sort=None):
         contrib = contrib_q
         ok = ok_q
 
-    # deferred visibility ray (raygen.cu:134-143)
+    # deferred visibility ray (raygen.cu:134-143); lanes that cannot
+    # contribute (geometry-rejected or masked by the caller) drop their
+    # tmax below tmin so the walk kernels skip them
+    if mask is not None:
+        ok = ok & mask
     seg = target - P
     seg_len = jnp.maximum(vec.length(seg), 1e-8)
     seg_dir = seg / seg_len[..., None]
+    tmax_v = jnp.where(ok, seg_len - SCENE_EPSILON, -1.0)
     occluded = trace_any(ts, P, seg_dir,
                          jnp.full_like(seg_len, SCENE_EPSILON),
-                         seg_len - SCENE_EPSILON, sort=sort)
+                         tmax_v, sort=sort)
     contrib = jnp.where((ok & ~occluded)[..., None], contrib, 0.0)
     return vec.scrub(contrib), state
 
@@ -104,8 +112,14 @@ def make_pt_step(ts: TraceScene, max_depth: int = PT_MAX_DEPTH):
         )
 
         def body(c, _):
-            hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE)
             live = ~c["done"]
+            # done lanes keep their last (o, d): without masking they would
+            # re-trace the same ray every remaining scan step (RR kills most
+            # lanes well before the depth cap — measured ~70% of closest-ray
+            # work wasted at depth cap 12). Dead-lane tmax + the liveness
+            # sort skips them in the walk kernels.
+            hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON,
+                                jnp.where(live, 1e16, -1.0), CULL_BACKFACE)
             miss = ~hit.valid & live
 
             result = c["result"]
@@ -131,9 +145,10 @@ def make_pt_step(ts: TraceScene, max_depth: int = PT_MAX_DEPTH):
             add = jnp.where((hit_light & front)[..., None], emit, 0.0)
             result = result + vec.scrub(add)
 
-            # --- surface: NEE ---
+            # --- surface: NEE (shadow rays only for live surface lanes) ---
             v_dir = -c["d"]
-            nee, state2 = _nee(ts, geom, v_dir, c["throughput"], c["state"])
+            nee, state2 = _nee(ts, geom, v_dir, c["throughput"], c["state"],
+                               mask=hit_surface)
             result = result + jnp.where(hit_surface[..., None], nee, 0.0)
 
             # --- RR + BSDF bounce (hit_program.cu:527-551) ---

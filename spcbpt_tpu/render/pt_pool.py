@@ -89,9 +89,11 @@ def render_pool(ts: TraceScene, cam_uvw, width: int, height: int,
         if presort:
             perm = jnp.argsort(wavefront_key(ts, c["o"], c["d"]))
             c = dict(c, **{k: c[k][perm] for k in lane_keys})
-        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE,
-                            sort=False if presort else None)
         live = c["alive"]
+        # pool-exhausted (~alive) lanes: dead-lane tmax skips their traversal
+        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON,
+                            jnp.where(live, 1e16, -1.0), CULL_BACKFACE,
+                            sort=False if presort else None)
         miss = ~hit.valid & live
         geom = local_geometry(ts, hit, c["o"], c["d"])
         hit_light = hit.valid & (geom["light_id"] >= 0) & live
@@ -116,7 +118,7 @@ def render_pool(ts: TraceScene, cam_uvw, width: int, height: int,
 
         v_dir = -c["d"]
         nee, state2 = _nee(ts, geom, v_dir, c["throughput"], c["state"],
-                           sort=False if presort else None)
+                           sort=False if presort else None, mask=hit_surf)
         result = result + jnp.where(hit_surf[..., None], nee, 0.0)
 
         rr = bsdf_mod.rr_rate(geom["base_color"], MIN_RR_RATE)
@@ -229,8 +231,9 @@ def render_waves(ts: TraceScene, cam_uvw, width: int, height: int,
         return jnp.any(c["alive"])
 
     def body(c):
-        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE)
         live = c["alive"]
+        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON,
+                            jnp.where(live, 1e16, -1.0), CULL_BACKFACE)
         miss = ~hit.valid & live
         geom = local_geometry(ts, hit, c["o"], c["d"])
         hit_light = hit.valid & (geom["light_id"] >= 0) & live
@@ -254,7 +257,8 @@ def render_waves(ts: TraceScene, cam_uvw, width: int, height: int,
                                               emit, 0.0))
 
         v_dir = -c["d"]
-        nee, state2 = _nee(ts, geom, v_dir, c["throughput"], c["state"])
+        nee, state2 = _nee(ts, geom, v_dir, c["throughput"], c["state"],
+                           mask=hit_surf)
         result = result + jnp.where(hit_surf[..., None], nee, 0.0)
 
         rr = bsdf_mod.rr_rate(geom["base_color"], MIN_RR_RATE)

@@ -131,9 +131,12 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
 
         def body(c, _):
             last = c["v"]
-            hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE)
-            geom = local_geometry(ts, hit, c["o"], c["d"])
             live = ~c["done"]
+            # dead-lane tmax: done lanes would otherwise re-trace their last
+            # ray every remaining scan step (see pt.py body note)
+            hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON,
+                                jnp.where(live, 1e16, -1.0), CULL_BACKFACE)
+            geom = local_geometry(ts, hit, c["o"], c["d"])
             miss = ~hit.valid & live
             hit_light = hit.valid & (geom["light_id"] >= 0) & live
             hit_surf = hit.valid & (geom["light_id"] < 0) & live
@@ -215,7 +218,7 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
             if connection_n > 0:
                 conn_total, state2 = _connections(
                     ts, ss, sampler, mid, ratio_mid, c["state"],
-                    connection_n, uniform, second_stage)
+                    connection_n, uniform, second_stage, live=hit_surf)
                 result = result + jnp.where(hit_surf[..., None],
                                             conn_total / connection_n, 0.0)
             else:
@@ -282,7 +285,8 @@ def _env_r(ts):
 
 
 def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
-                 connection_n: int, uniform: bool, second_stage=None):
+                 connection_n: int, uniform: bool, second_stage=None,
+                 live=None):
     # second_stage=None (default): O(1) uniform-in-subspace vertex pick,
     # 1.48x faster frames at ~3% relMSE on the glossy A/B — equal-time win.
     # "weighted" = the reference's flux-weighted vertex CMF (cuProg.h:268).
@@ -351,6 +355,10 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
     pmf_all = sampler.path_count.astype(jnp.float32) * pmf1_all * pmf2_all
     can_contribute = (ok_seg_all & lv_all.valid & (pmf_all > 0.0)
                       & jnp.any(contrib_all != 0.0, axis=-1))
+    if live is not None:
+        # dead eye lanes (missed / emitter-hit / done): the caller zeroes
+        # their result anyway — skip their occlusion rays too
+        can_contribute = can_contribute & jnp.tile(live, (connection_n,))
     # the connection wavefront's directions are unrelated to the pool's
     # presorted bounce rays — always sort it by its OWN coherence key
     # (argsort is ~free on TPU; unsorted incoherent any-hit measured ~2.5x

@@ -90,10 +90,12 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
             c = dict(c, **{k: c[k][perm] for k in lane_keys},
                      v=jax.tree_util.tree_map(lambda a: a[perm], c["v"]))
         last = c["v"]
-        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE,
+        live = c["alive"]
+        # pool-exhausted (~alive) lanes: dead-lane tmax skips their traversal
+        hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON,
+                            jnp.where(live, 1e16, -1.0), CULL_BACKFACE,
                             sort=False if presort else None)
         geom = local_geometry(ts, hit, c["o"], c["d"])
-        live = c["alive"]
         miss = ~hit.valid & live
         hit_light = hit.valid & (geom["light_id"] >= 0) & live
         hit_surf = hit.valid & (geom["light_id"] < 0) & live
@@ -166,7 +168,7 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
         if connection_n > 0:
             conn_total, state2 = _connections(
                 ts, ss, sampler, mid, ratio_mid, c["state"],
-                connection_n, uniform, second_stage)
+                connection_n, uniform, second_stage, live=hit_surf)
             result = result + jnp.where(hit_surf[..., None],
                                         conn_total / connection_n, 0.0)
         else:

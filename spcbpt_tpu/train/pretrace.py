@@ -271,9 +271,11 @@ def make_pretracer(ts: TraceScene, cam_uvw, n_core: int,
             return dict(c, state=st, chosen=chosen, n_resample=n_res)
 
         def body(c, _):
-            hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON, 1e16, CULL_BACKFACE)
-            geom = local_geometry(ts, hit, c["o"], c["d"])
             live = ~c["done"]
+            # dead-lane tmax: see render/pt.py body note
+            hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON,
+                                jnp.where(live, 1e16, -1.0), CULL_BACKFACE)
+            geom = local_geometry(ts, hit, c["o"], c["d"])
             hit_light = hit.valid & (geom["light_id"] >= 0) & live
             hit_surf = hit.valid & (geom["light_id"] < 0) & live
 
@@ -333,7 +335,7 @@ def make_pretracer(ts: TraceScene, cam_uvw, n_core: int,
             vis_ok = visibility(ts, geom["P"], jnp.where(
                 ls.is_env[..., None],
                 geom["P"] + ls.direction * 10.0 * _env_r(ts),
-                ls.position), SCENE_EPSILON)
+                ls.position), SCENE_EPSILON, mask=hit_surf)
             # one-sidedness checks (raygen.cu:835-837)
             facing = jnp.where(
                 ls.is_env,
