@@ -57,6 +57,8 @@ _SLOW = [
     "tests/test_rmis_oracle.py::test_light_source_connection_matches_oracle[uniform",
     "tests/test_rmis_oracle.py::test_perturbed_rmis_cache_is_detected[mixture]",
     "tests/test_rmis_oracle.py::test_perturbed_rmis_cache_is_detected[uniform]",
+    "tests/test_rmis_oracle.py::test_is_brdf_zeroes_weight[mixture]",
+    "tests/test_rmis_oracle.py::test_is_brdf_zeroes_weight[uniform]",
     "tests/test_tile_trace.py::test_coherent_camera_rays_cornell",
     "tests/test_pallas.py::test_pallas_matches_bruteforce",
     "tests/test_parallel.py::test_sharded_spcbpt_render_runs",
