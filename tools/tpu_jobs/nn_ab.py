@@ -5,6 +5,9 @@ import json, subprocess, sys
 common = ["python", "-m", "spcbpt_tpu.apps.benchmark",
           "--scene", "interior_cove", "--dim", "256x256",
           "--ref-npz", "/tmp/cove_ref256_ts.npz",
+          # explicit ref protocol: /tmp caches may have been wiped, in which
+          # case the first arm regenerates the ref (resumable chunks)
+          "--ref-alg", "pt", "--ref-spp", "4096", "--ref-chunk", "256",
           "--spp", "48", "--algs", "spcbpt", "--repeats", "3",
           "--train-samples", "400000"]
 out = {}
@@ -15,11 +18,9 @@ for name, extra in (
                 "--checkpoint", "/tmp/cove_ck256_nn.npz",
                 "--json", "/tmp/nn_ab_nn.json"])):
     print(f"[ab] {name} ...", flush=True)
-    r = subprocess.run(common + extra, cwd="/root/repo",
-                       capture_output=True, text=True, timeout=3000)
-    sys.stdout.write(r.stdout[-2000:])
+    # stream output (the queue watchdog kills log-quiet jobs)
+    r = subprocess.run(common + extra, cwd="/root/repo", timeout=5400)
     if r.returncode != 0:
-        sys.stderr.write(r.stderr[-3000:])
         sys.exit(r.returncode)
     out[name] = json.load(open(extra[-1]))["algs"]["spcbpt"]
 json.dump(out, open("/tmp/nn_ab.json", "w"), indent=2)

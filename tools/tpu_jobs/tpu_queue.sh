@@ -1,7 +1,12 @@
 #!/bin/bash
-# Round-3 TPU job queue: waits for the axon tunnel, then runs each job with
+# Round-4 TPU job queue: waits for the axon tunnel, then runs each job with
 # a log-staleness watchdog (stalled tunnel => kill job, wait, relaunch; the
 # jobs checkpoint their progress so relaunches resume).
+#
+# Every job's outputs are STAGED into /root/repo/artifacts/ immediately
+# after the job (even on partial failure): if this queue finishes after the
+# interactive session ends, the driver's end-of-round commit still captures
+# the results.
 cd /root/repo
 
 probe() {
@@ -46,17 +51,46 @@ run_watched() {
   return 1
 }
 
+# stage SRC DST — copy a result into the repo tree if it exists
+stage() {
+  if [ -e "$1" ]; then
+    mkdir -p "$(dirname "$2")"
+    cp -r "$1" "$2"
+    echo "[queue] staged $1 -> $2" >> /tmp/tpu_queue.log
+  fi
+}
+
+stage_all() {
+  stage /tmp/frame_cost_256.json  artifacts/config4/frame_cost_256_tpu.json
+  stage /tmp/config4_1024.json    artifacts/config4/cove_1024_equal_time_180s.json
+  stage /tmp/config4_1024_imgs    artifacts/config4/imgs_1024
+  stage /tmp/nn_ab.json           artifacts/config4/nn_ab_cove256_48spp_tpu.json
+  stage /tmp/config5_tpu.json     artifacts/config5/cove_2048_equal_time_300s.json
+  stage /tmp/house_eq.json        artifacts/house/house_512_equal_time_60s.json
+  stage /tmp/house_eq_imgs        artifacts/house/imgs_512
+  if [ -f /tmp/bench_r4.log ]; then
+    mkdir -p artifacts/bench
+    tail -40 /tmp/bench_r4.log > artifacts/bench/bench_r4_tpu_validation.log
+  fi
+  if [ -f /tmp/tpu_probe34.log ]; then
+    mkdir -p artifacts/config4
+    tail -60 /tmp/tpu_probe34.log > artifacts/config4/tpu_probe34.log
+  fi
+}
+
 echo "[queue] === queue start $(date -u) ===" >> /tmp/tpu_queue.log
 
 # 0) validate the restaged bench.py on the real chip FIRST (quick; the
 # round's #1 deliverable is a driver-parsed >=50 Mrays/s line)
 run_watched bench /tmp/bench_r4.log 600 3 \
   timeout 700 python bench.py
+stage_all
 echo "[queue] === bench done $(date -u) ===" >> /tmp/tpu_queue.log
 
 # 0.5) per-spp frame-cost table post occlusion-mask change (VERDICT #5)
 run_watched frame_cost /tmp/frame_cost.log 900 3 \
   timeout 1800 python tools/tpu_jobs/frame_cost.py
+stage_all
 echo "[queue] === frame_cost done $(date -u) ===" >> /tmp/tpu_queue.log
 
 # 1) config-4: 1024^2 equal-time on cove (ref render resumes via .partial.npz)
@@ -67,10 +101,12 @@ run_watched config4 /tmp/config4_1024.log 1800 6 \
     --train-samples 2000000 --ref-npz /tmp/cove_ref1024_bdpt.npz \
     --checkpoint /tmp/cove_ck1024.npz --json /tmp/config4_1024.json \
     --save-images /tmp/config4_1024_imgs
+stage_all
 
-# 2) NN A/B on the TPU (short; needs only the 256^2 ref + ckpt, both cached)
+# 2) NN A/B on the TPU (regenerates the 256^2 ref if /tmp was wiped)
 run_watched nn_ab /tmp/nn_ab_tpu.log 1800 3 \
-  timeout 7200 python tools/tpu_jobs/nn_ab.py
+  timeout 14400 python tools/tpu_jobs/nn_ab.py
+stage_all
 
 # 3) config-5 reference at 2048^2 (resumable; needs cove_ck1024 from job 1)
 run_watched ref2048 /tmp/ref2048.log 1800 6 \
@@ -83,7 +119,7 @@ run_watched config5 /tmp/config5_tpu.log 1800 4 \
     --max-depth 12 --light-paths-per-chip 65536 --equal-time 300 \
     --checkpoint /tmp/cove_ck1024.npz --ref-npz /tmp/cove_ref2048.npz \
     --json /tmp/config5_tpu.json
-
+stage_all
 echo "[queue] === queue done $(date -u) ===" >> /tmp/tpu_queue.log
 
 # 5) parity artifact on the reference's own bundled scene (119k tris, env map)
@@ -95,11 +131,12 @@ run_watched house /tmp/house_eq.log 1800 4 \
     --equal-time 60 --algs pt,bdpt,spcbpt --repeats 3 --train-samples 2000000 \
     --ref-npz /tmp/house_ref512.npz --checkpoint /tmp/house_ck.npz \
     --json /tmp/house_eq.json --save-images /tmp/house_eq_imgs
-
+stage_all
 echo "[queue] === house done $(date -u) ===" >> /tmp/tpu_queue.log
 
 # 7) TPU replication of the CPU per-spp probe (same seeds): discriminates
 # realization luck vs a platform-systematic estimator difference
 run_watched tpu_probe /tmp/tpu_probe34.log 1200 3 \
   timeout 7200 python tools/tpu_jobs/tpu_probe34.py
+stage_all
 echo "[queue] === tpu_probe done $(date -u) ===" >> /tmp/tpu_queue.log
