@@ -108,6 +108,16 @@ run_watched nn_ab /tmp/nn_ab_tpu.log 1800 3 \
   timeout 14400 python tools/tpu_jobs/nn_ab.py
 stage_all
 
+# 2.5) fallback: if job 1 never saved the trained checkpoint, train one now
+# (config-5 jobs 3+4 hard-require /tmp/cove_ck1024.npz)
+if [ ! -f /tmp/cove_ck1024.npz ]; then
+  run_watched ck_fallback /tmp/ck_fallback.log 1800 3 \
+    timeout 7200 python -m spcbpt_tpu.apps.benchmark \
+      --scene interior_cove --dim 1024x1024 --ref-spp 1 --spp 1 \
+      --algs spcbpt --train-samples 2000000 \
+      --checkpoint /tmp/cove_ck1024.npz --json /tmp/ck_fallback.json
+fi
+
 # 3) config-5 reference at 2048^2 (resumable; needs cove_ck1024 from job 1)
 run_watched ref2048 /tmp/ref2048.log 1800 6 \
   timeout 14400 python tools/tpu_jobs/gen_ref_2048.py 96
