@@ -34,8 +34,14 @@ ts, desc, cam = load_trace_scene(default_scene_path(mode="cove"))
 cam.aspect = 1.0
 eye, U, V, Wv = cam.uvw()
 
-ck = "/tmp/cove_ck_256.npz"
-if os.path.exists(ck):
+# prefer a real trained checkpoint (the contribution-masking rate in the
+# occlusion wavefront depends on the actual Gamma/classifier, so synthetic
+# states under- or over-state the VERDICT-5 cut); queue runs this job twice:
+# before config-4 (synthetic) and after (trained)
+_CKS = ["/tmp/cove_ck_256.npz", "/tmp/cove_ck256_v2.npz",
+        "/tmp/cove_ck1024.npz"]
+ck = next((p for p in _CKS if os.path.exists(p)), None)
+if ck is not None:
     from spcbpt_tpu.checkpoint import load_subspace_state
     ss = load_subspace_state(ck)
     src = ck
@@ -73,6 +79,7 @@ ms_sp = bench("spcbpt_ms_per_spp", lambda s: spcbpt_pool.render_pool_jit(
 out["ratio_spcbpt_over_pt"] = round(ms_sp / ms_pt, 2)
 print(f"[frame_cost] ratio spcbpt/pt = {out['ratio_spcbpt_over_pt']}",
       flush=True)
-with open("/tmp/frame_cost_256.json", "w") as f:
+dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/frame_cost_256.json"
+with open(dst, "w") as f:
     json.dump(out, f, indent=2)
-print("[frame_cost] wrote /tmp/frame_cost_256.json", flush=True)
+print(f"[frame_cost] wrote {dst}", flush=True)

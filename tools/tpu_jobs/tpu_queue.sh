@@ -108,6 +108,12 @@ run_watched nn_ab /tmp/nn_ab_tpu.log 1800 3 \
   timeout 14400 python tools/tpu_jobs/nn_ab.py
 stage_all
 
+# 2.2) frame-cost again, now with a real trained checkpoint (the masked
+# occlusion cut's effect depends on the actual Gamma — VERDICT #5 evidence)
+run_watched frame_cost_trained /tmp/frame_cost_trained.log 900 2 \
+  timeout 1800 python tools/tpu_jobs/frame_cost.py /tmp/frame_cost_256_trained.json
+stage /tmp/frame_cost_256_trained.json artifacts/config4/frame_cost_256_tpu_trained.json
+
 # 2.5) fallback: if job 1 never saved the trained checkpoint, train one now
 # (config-5 jobs 3+4 hard-require /tmp/cove_ck1024.npz)
 if [ ! -f /tmp/cove_ck1024.npz ]; then
