@@ -1,5 +1,5 @@
 """Config-5 reference: trained-SPCBPT accumulation at 2048^2 on the TPU,
-with an independent-PT energy cross-check. Writes /tmp/cove_ref2048.npz.
+with an independent-PT energy cross-check. Writes /root/repo/.jax_cache/cove_ref2048.npz.
 Resumable: partial accumulation saved every 8 spp to .partial.npz."""
 import os
 import time, sys
@@ -17,12 +17,12 @@ from spcbpt_tpu.train import classify
 
 W = H = 2048
 SPP = int(sys.argv[1]) if len(sys.argv) > 1 else 96
-OUT = "/tmp/cove_ref2048.npz"
+OUT = "/root/repo/.jax_cache/cove_ref2048.npz"
 PARTIAL = OUT + ".partial.npz"
 ts, desc, cam = load_trace_scene(resolve_scene("interior_cove"))
 cam.aspect = 1.0
 eye, U, V, Wv = cam.uvw()
-ss = ckpt_mod.load_subspace_state("/tmp/cove_ck1024.npz")
+ss = ckpt_mod.load_subspace_state("/root/repo/.jax_cache/cove_ck1024.npz")
 print(f"[ref2048] spcbpt {SPP} spp, second stage '{ss.second_stage}'", flush=True)
 lt = jax.jit(lambda f: light_trace.trace_light_paths(ts, ss, 65536, f, max_depth=8))
 build = lvc.make_builder(ss)

@@ -4,7 +4,7 @@ import json, subprocess, sys
 
 common = ["python", "-m", "spcbpt_tpu.apps.benchmark",
           "--scene", "interior_cove", "--dim", "256x256",
-          "--ref-npz", "/tmp/cove_ref256_ts.npz",
+          "--ref-npz", "/root/repo/.jax_cache/cove_ref256_ts.npz",
           # explicit ref protocol: /tmp caches may have been wiped, in which
           # case the first arm regenerates the ref (resumable chunks)
           "--ref-alg", "pt", "--ref-spp", "4096", "--ref-chunk", "256",
@@ -12,10 +12,10 @@ common = ["python", "-m", "spcbpt_tpu.apps.benchmark",
           "--train-samples", "400000"]
 out = {}
 for name, extra in (
-        ("centroid", ["--checkpoint", "/tmp/cove_ck256_v2.npz",
+        ("centroid", ["--checkpoint", "/root/repo/.jax_cache/cove_ck256_v2.npz",
                       "--json", "/tmp/nn_ab_centroid.json"]),
         ("nn", ["--classifier", "nn",
-                "--checkpoint", "/tmp/cove_ck256_nn.npz",
+                "--checkpoint", "/root/repo/.jax_cache/cove_ck256_nn.npz",
                 "--json", "/tmp/nn_ab_nn.json"])):
     print(f"[ab] {name} ...", flush=True)
     # stream output (the queue watchdog kills log-quiet jobs)

@@ -17,8 +17,8 @@ ts, desc, cam = load_trace_scene(resolve_scene("interior_cove"))
 cam.aspect = 1.0
 eye, U, V, Wv = cam.uvw()
 import os
-_CKS = ["/tmp/cove_ck256_ts.npz", "/tmp/cove_ck256_v2.npz",
-        "/tmp/cove_ck1024.npz"]
+_CKS = ["/tmp/cove_ck256_ts.npz", "/root/repo/.jax_cache/cove_ck256_v2.npz",
+        "/root/repo/.jax_cache/cove_ck1024.npz"]
 _ck = next((p for p in _CKS if os.path.exists(p)), None)
 if _ck is None:
     sys.exit("[probe] no checkpoint found in " + ", ".join(_CKS))
@@ -26,9 +26,9 @@ print(f"[probe] checkpoint {_ck}", flush=True)
 ss = ckpt_mod.load_subspace_state(_ck)
 lt = jax.jit(lambda f: light_trace.trace_light_paths(ts, ss, 65536, f, max_depth=8))
 build = lvc.make_builder(ss)
-if not os.path.exists("/tmp/cove_ref256_ts.npz"):
-    sys.exit("[probe] missing /tmp/cove_ref256_ts.npz (run nn_ab job first)")
-ref = np.load("/tmp/cove_ref256_ts.npz")["img"]
+if not os.path.exists("/root/repo/.jax_cache/cove_ref256_ts.npz"):
+    sys.exit("[probe] missing /root/repo/.jax_cache/cove_ref256_ts.npz (run nn_ab job first)")
+ref = np.load("/root/repo/.jax_cache/cove_ref256_ts.npz")["img"]
 acc = np.zeros((W*H,3)); cnt = np.zeros((W*H,))
 for s in range(0, 48):
     t0=time.time()

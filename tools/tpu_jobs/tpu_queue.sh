@@ -98,8 +98,8 @@ run_watched config4 /tmp/config4_1024.log 1800 6 \
   timeout 18000 python -m spcbpt_tpu.apps.benchmark \
     --scene interior_cove --dim 1024x1024 --ref-alg bdpt --ref-spp 1024 \
     --ref-check-spp 1024 --equal-time 180 --algs pt,bdpt,spcbpt --repeats 3 \
-    --train-samples 2000000 --ref-npz /tmp/cove_ref1024_bdpt.npz \
-    --checkpoint /tmp/cove_ck1024.npz --json /tmp/config4_1024.json \
+    --train-samples 2000000 --ref-npz /root/repo/.jax_cache/cove_ref1024_bdpt.npz \
+    --checkpoint /root/repo/.jax_cache/cove_ck1024.npz --json /tmp/config4_1024.json \
     --save-images /tmp/config4_1024_imgs
 stage_all
 
@@ -115,13 +115,13 @@ run_watched frame_cost_trained /tmp/frame_cost_trained.log 900 2 \
 stage /tmp/frame_cost_256_trained.json artifacts/config4/frame_cost_256_tpu_trained.json
 
 # 2.5) fallback: if job 1 never saved the trained checkpoint, train one now
-# (config-5 jobs 3+4 hard-require /tmp/cove_ck1024.npz)
-if [ ! -f /tmp/cove_ck1024.npz ]; then
+# (config-5 jobs 3+4 hard-require /root/repo/.jax_cache/cove_ck1024.npz)
+if [ ! -f /root/repo/.jax_cache/cove_ck1024.npz ]; then
   run_watched ck_fallback /tmp/ck_fallback.log 1800 3 \
     timeout 7200 python -m spcbpt_tpu.apps.benchmark \
       --scene interior_cove --dim 1024x1024 --ref-spp 1 --spp 1 \
       --algs spcbpt --train-samples 2000000 \
-      --checkpoint /tmp/cove_ck1024.npz --json /tmp/ck_fallback.json
+      --checkpoint /root/repo/.jax_cache/cove_ck1024.npz --json /tmp/ck_fallback.json
 fi
 
 # 3) config-5 reference at 2048^2 (resumable; needs cove_ck1024 from job 1)
@@ -133,7 +133,7 @@ run_watched config5 /tmp/config5_tpu.log 1800 4 \
   timeout 7200 python -m spcbpt_tpu.apps.multichip_bench \
     --scene interior_cove --dim 2048x2048 --platform default --meshes 1x1 \
     --max-depth 12 --light-paths-per-chip 65536 --equal-time 300 \
-    --checkpoint /tmp/cove_ck1024.npz --ref-npz /tmp/cove_ref2048.npz \
+    --checkpoint /root/repo/.jax_cache/cove_ck1024.npz --ref-npz /root/repo/.jax_cache/cove_ref2048.npz \
     --json /tmp/config5_tpu.json
 stage_all
 echo "[queue] === queue done $(date -u) ===" >> /tmp/tpu_queue.log
@@ -145,7 +145,7 @@ run_watched house /tmp/house_eq.log 1800 4 \
     --dim 512x512 --ref-alg bdpt --ref-spp 1024 --ref-chunk 64 \
     --ref-check-spp 512 \
     --equal-time 60 --algs pt,bdpt,spcbpt --repeats 3 --train-samples 2000000 \
-    --ref-npz /tmp/house_ref512.npz --checkpoint /tmp/house_ck.npz \
+    --ref-npz /root/repo/.jax_cache/house_ref512.npz --checkpoint /root/repo/.jax_cache/house_ck.npz \
     --json /tmp/house_eq.json --save-images /tmp/house_eq_imgs
 stage_all
 echo "[queue] === house done $(date -u) ===" >> /tmp/tpu_queue.log
