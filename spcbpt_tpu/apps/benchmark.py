@@ -40,6 +40,11 @@ def main(argv=None):
     p.add_argument("--light-depth", type=int, default=8)
     p.add_argument("--train-samples", type=int, default=200_000)
     p.add_argument("--q-samples", type=int, default=None)
+    p.add_argument("--gamma-epochs", type=int, default=1,
+                   help="Adam epochs over the Gamma corpus; 0 = keep the "
+                        "contribution-integral initial Gamma (BASELINE "
+                        "config 3, reference preprocess_getGamma "
+                        "device_thrust.cu:627-667 without train_optimal_E)")
     p.add_argument("--classifier", default="centroid",
                    choices=["centroid", "nn"],
                    help="'nn' trains the close-set refinement network on top "
@@ -210,6 +215,7 @@ def main(argv=None):
                         ts, (eye, U, V, W), width, height, cfg,
                         lt_paths=min(args.light_paths, 50_000),
                         lt_depth=args.light_depth,
+                        gamma_cfg={"epochs": args.gamma_epochs},
                         nn_train=args.classifier == "nn", verbose=True)
                     print(f"[train] {time.time()-t0:.0f}s "
                           f"{pstats.seconds}", flush=True)
