@@ -9,6 +9,22 @@
 # the results.
 cd /root/repo
 
+# Hard deadline: the driver runs bench.py at round end, and TPU access
+# serializes across processes — a queue job still holding the chip would
+# block the driver's bench into a timeout (the round-3 failure mode).
+# Default: 20:50 UTC today. Override with QUEUE_DEADLINE_TS (epoch secs).
+DEADLINE_TS=${QUEUE_DEADLINE_TS:-$(date -u -d "today 20:50" +%s)}
+
+past_deadline() {
+  [ "$(date +%s)" -ge "$DEADLINE_TS" ]
+}
+
+deadline_exit() {
+  echo "[queue] $(date -u +%H:%M:%S) DEADLINE reached — staging and exiting" >> /tmp/tpu_queue.log
+  stage_all
+  exit 0
+}
+
 probe() {
   timeout 150 python -c "
 import jax, jax.numpy as jnp
@@ -18,6 +34,7 @@ print('TPU_UP')" 2>/dev/null | grep -q TPU_UP
 
 wait_tpu() {
   until probe; do
+    past_deadline && deadline_exit
     echo "[queue] $(date -u +%H:%M:%S) tunnel down, retry in 180s" >> /tmp/tpu_queue.log
     sleep 180
   done
@@ -36,6 +53,11 @@ run_watched() {
     local pid=$!
     while kill -0 $pid 2>/dev/null; do
       sleep 60
+      if past_deadline; then
+        echo "[queue] $(date -u +%H:%M:%S) DEADLINE — killing $name (pg $pid) to free the chip for the driver bench" >> /tmp/tpu_queue.log
+        kill -TERM -$pid 2>/dev/null; sleep 5; kill -KILL -$pid 2>/dev/null
+        deadline_exit
+      fi
       local age=$(( $(date +%s) - $(stat -c %Y "$log" 2>/dev/null || date +%s) ))
       if [ $age -gt $stall ]; then
         echo "[queue] $(date -u +%H:%M:%S) $name stalled (${age}s quiet) — killing pg $pid" >> /tmp/tpu_queue.log
