@@ -109,6 +109,12 @@ run_watched bench /tmp/bench_r4.log 600 3 \
 stage_all
 echo "[queue] === bench done $(date -u) ===" >> /tmp/tpu_queue.log
 
+# 0.2) Pallas-vs-XLA traversal A/B (short; Mosaic hang is caught by the
+# 600 s staleness watchdog — 2 tries then move on)
+run_watched pallas_ab /tmp/pallas_ab.log 600 2 \
+  timeout 1500 python tools/tpu_jobs/pallas_ab.py /tmp/pallas_ab.json
+stage /tmp/pallas_ab.json artifacts/bench/pallas_ab_tpu.json
+
 # 0.5) per-spp frame-cost table post occlusion-mask change (VERDICT #5)
 run_watched frame_cost /tmp/frame_cost.log 900 3 \
   timeout 1800 python tools/tpu_jobs/frame_cost.py
