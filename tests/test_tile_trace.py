@@ -125,3 +125,51 @@ def test_unpadded_ray_count():
     got = tile_trace.tile_closest(cs, o, d, tmin, tmax, True, tile=32)
     np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
                                rtol=2e-4, atol=1e-4)
+
+
+def test_ray_sort_key_live_packs_dead_lanes_last():
+    """Direct unit test for the liveness-aware coherence key (a790fde):
+    dead lanes (tmax < tmin, the masked-lane convention) must sort strictly
+    after every live lane, and live lanes must keep their plain
+    ray_sort_key relative order (the coherence the walk kernels rely on)."""
+    p0, e1, e2 = _random_tris(100, 11)
+    cs, *_ = _build(p0, e1, e2)
+    o, d = _random_rays(257, 12)
+    r = np.random.default_rng(13)
+    dead = jnp.asarray(r.random(257) < 0.4)
+    tmin = jnp.full((257,), 1e-3)
+    tmax = jnp.where(dead, -1.0, 1e16)
+
+    base = np.asarray(tile_trace.ray_sort_key(cs.cmin, cs.cmax, o, d))
+    live_key = np.asarray(tile_trace.ray_sort_key_live(
+        cs.cmin, cs.cmax, o, d, tmin, tmax))
+    dead_np = np.asarray(dead)
+    # every dead key sorts after every live key
+    assert live_key[dead_np].min() > live_key[~dead_np].max()
+    # live lanes: key unchanged (identical coherence ordering)
+    np.testing.assert_array_equal(live_key[~dead_np], base[~dead_np])
+    # argsort stability: live lanes appear first, in base-key order
+    order = np.argsort(live_key, kind="stable")
+    n_live = int((~dead_np).sum())
+    assert not dead_np[order[:n_live]].any()
+
+
+def test_visibility_mask_exact_on_live_lanes():
+    """visibility(mask=) must return exactly the unmasked result on lanes
+    where mask is True (masked lanes are unspecified by contract)."""
+    from spcbpt_tpu.scene.cornell import default_scene_path
+    from spcbpt_tpu.scene.scene import load_trace_scene, visibility
+
+    ts, desc, cam = load_trace_scene(default_scene_path())
+    r = np.random.default_rng(21)
+    lo = np.asarray(ts.tri_p0).min(axis=0)
+    hi = np.asarray(ts.tri_p0).max(axis=0)
+    a = jnp.asarray(r.uniform(lo, hi, size=(256, 3)).astype(np.float32))
+    b = jnp.asarray(r.uniform(lo, hi, size=(256, 3)).astype(np.float32))
+    mask = jnp.asarray(r.random(256) < 0.6)
+
+    full = np.asarray(visibility(ts, a, b))
+    masked = np.asarray(visibility(ts, a, b, mask=mask))
+    m = np.asarray(mask)
+    np.testing.assert_array_equal(masked[m], full[m])
+    assert m.sum() > 50 and (~m).sum() > 50
