@@ -121,17 +121,21 @@ def main(argv=None):
         lt = jax.jit(lambda f: light_trace.trace_light_paths(
             ts, ss0, args.light_paths, f, max_depth=args.light_depth))
         build = jax.jit(lvc.build_sampler)
-        acc_f = np.zeros((width * height, 3))
-        acc_c = np.zeros((width * height,))
+        # accumulate ON DEVICE and transfer once per chunk: per-spp
+        # np.asarray here costs ~17 MB of device->host traffic per spp at
+        # 1024^2, which dominates wall-clock on remote-tunnel TPU setups
+        # (measured 7.5 s/spp with per-spp transfers vs 2.2 s/spp compute)
+        acc_f = jnp.zeros((width * height, 3))
+        acc_c = jnp.zeros((width * height,))
         for s in range(spp):
             sampler = build(lt(seed_base + s + 3331))
             fs, ct = spcbpt_pool.render_pool_jit(
                 ts, ss0, sampler, eye, U, V, W, width, height, 1,
                 seed_base + s, max_depth=args.max_depth, uniform=True)
-            jax.block_until_ready(fs)
-            acc_f += np.asarray(fs)
-            acc_c += np.asarray(ct)
-        return acc_f, acc_c
+            acc_f = acc_f + fs
+            acc_c = acc_c + ct
+        jax.block_until_ready(acc_f)
+        return np.asarray(acc_f), np.asarray(acc_c)
 
     # ground truth: high-spp render (cached in --ref-npz)
     import os

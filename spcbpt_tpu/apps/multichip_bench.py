@@ -163,19 +163,22 @@ def main(argv=None):
                              ts_, ss_, uvw, width, height, sub, mesh,
                              args.light_paths_per_chip,
                              max_depth=args.max_depth, uniform=uniform))
-            acc = np.zeros((height, width, 3))
+            # accumulate ON DEVICE and transfer once after the budget: a
+            # per-subframe np.asarray is ~50 MB of device->host traffic at
+            # 2048^2, which would consume the timed budget in transfers on
+            # remote-tunnel TPU setups
             img = fn(ts, ss, 0)
             jax.block_until_ready(img)          # compile outside the budget
-            acc += np.asarray(img).reshape(height, width, 3)
+            acc = img
             n = 1
             t0 = time.time()
             while time.time() - t0 < args.equal_time:
                 img = fn(ts, ss, n)
-                jax.block_until_ready(img)
-                acc += np.asarray(img).reshape(height, width, 3)
+                acc = acc + img
+                jax.block_until_ready(acc)
                 n += 1
             dt = time.time() - t0
-            out = (acc / n).reshape(-1, 3)
+            out = (np.asarray(acc).reshape(height, width, 3) / n).reshape(-1, 3)
             e = (rel_mse(out, ref, discard=args.discard)
                  if ref is not None else None)
             results["equal_time"]["algs"][alg] = {

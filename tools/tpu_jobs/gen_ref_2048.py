@@ -34,13 +34,19 @@ if os.path.exists(PARTIAL):
     s_start = int(pz["spp_done"])
     print(f"[ref2048] resumed {s_start}/{SPP} spp", flush=True)
 t0 = time.time()
+# accumulate ON DEVICE between checkpoints: per-spp np.asarray is ~67 MB of
+# device->host traffic per spp at 2048^2, which dominates wall-clock on
+# remote-tunnel TPU setups (same fix as benchmark.render_ref_chunk)
+dacc = jnp.zeros((W * H, 3)); dcnt = jnp.zeros((W * H,))
 for s in range(s_start, SPP):
     sampler = build(lt(s + 7919), s)
     fs, c = spcbpt_pool.render_pool_jit(ts, ss, sampler, eye, U, V, Wv,
                                         W, H, 1, s, max_depth=12)
-    jax.block_until_ready(fs)
-    acc += np.asarray(fs); cnt += np.asarray(c)
+    dacc = dacc + fs; dcnt = dcnt + c
     if (s + 1) % 8 == 0 or s + 1 == SPP:
+        jax.block_until_ready(dacc)
+        acc += np.asarray(dacc); cnt += np.asarray(dcnt)
+        dacc = jnp.zeros((W * H, 3)); dcnt = jnp.zeros((W * H,))
         np.savez_compressed(PARTIAL, acc=acc.astype(np.float32),
                             cnt=cnt.astype(np.float32), spp_done=s + 1)
         print(f"[ref2048] {s+1}/{SPP} ({time.time()-t0:.0f}s)", flush=True)
@@ -50,14 +56,14 @@ os.remove(PARTIAL)
 print(f"[ref2048] saved; mean {img.mean():.5f} ({time.time()-t0:.0f}s)", flush=True)
 
 # energy cross-check: independent PT
-accp = np.zeros((W * H, 3)); cntp = np.zeros((W * H,))
+daccp = jnp.zeros((W * H, 3)); dcntp = jnp.zeros((W * H,))
 t0 = time.time()
 for s in range(16):
     fs, c = pt_pool.render_pool_jit(ts, eye, U, V, Wv, W, H, 1, 777000 + s,
                                     max_depth=12)
-    jax.block_until_ready(fs)
-    accp += np.asarray(fs); cntp += np.asarray(c)
-pt_img = accp / np.maximum(cntp[:, None], 1)
+    daccp = daccp + fs; dcntp = dcntp + c
+jax.block_until_ready(daccp)
+pt_img = np.asarray(daccp) / np.maximum(np.asarray(dcntp)[:, None], 1)
 print(f"[check] PT 16spp mean {pt_img.mean():.5f} vs ref {img.mean():.5f} "
       f"(rel {abs(pt_img.mean()/img.mean()-1):.4f}) ({time.time()-t0:.0f}s)",
       flush=True)
