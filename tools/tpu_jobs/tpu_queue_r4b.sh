@@ -94,16 +94,19 @@ stage_all() {
 
 echo "[queue] === r4b queue start $(date -u) deadline $(date -u -d @$DEADLINE_TS +%H:%M) ===" >> /tmp/tpu_queue.log
 
-# 1) bench on the chip (log staged as driver-independent evidence)
-run_watched bench /tmp/bench_r4.log 600 2 \
-  timeout 700 python bench.py
-stage_all
+# 1) bench on the chip (log staged as driver-independent evidence);
+# skipped on queue restarts once the log is staged
+if [ ! -f artifacts/bench/bench_r4_tpu_validation.log ]; then
+  run_watched bench /tmp/bench_r4.log 600 2 \
+    timeout 700 python bench.py
+  stage_all
+fi
 
 # 2) config-4 at 1024^2 (ref: 1024-spp bdpt, chunk-resumable)
 run_watched config4 /tmp/config4_1024.log 1800 4 \
   timeout 10800 python -m spcbpt_tpu.apps.benchmark \
     --scene interior_cove --dim 1024x1024 --ref-alg bdpt --ref-spp 1024 \
-    --ref-chunk 64 --ref-check-spp 1024 \
+    --ref-chunk 64 --ref-check-spp 256 \
     --equal-time 180 --algs pt,bdpt,spcbpt --repeats 3 \
     --train-samples 2000000 --ref-npz /root/repo/.jax_cache/cove_ref1024_bdpt.npz \
     --checkpoint /root/repo/.jax_cache/cove_ck1024.npz --json /tmp/config4_1024.json \
@@ -142,7 +145,7 @@ run_watched house /tmp/house_eq.log 1800 3 \
   timeout 7200 python -m spcbpt_tpu.apps.benchmark \
     --scene house \
     --dim 512x512 --ref-alg bdpt --ref-spp 1024 --ref-chunk 64 \
-    --ref-check-spp 512 \
+    --ref-check-spp 256 \
     --equal-time 60 --algs pt,bdpt,spcbpt --repeats 3 --train-samples 2000000 \
     --ref-npz /root/repo/.jax_cache/house_ref512.npz --checkpoint /root/repo/.jax_cache/house_ck.npz \
     --json /tmp/house_eq.json --save-images /tmp/house_eq_imgs
