@@ -109,9 +109,20 @@ def main(argv=None):
     def render_ref_chunk(alg, spp, seed_base):
         """(film_sum, counts) for `spp` samples of the reference renderer."""
         if alg == "pt":
-            return pt_pool.render_pool_jit(
-                ts, eye, U, V, W, width, height, spp, seed_base,
-                max_depth=args.max_depth)
+            # 1-spp executions accumulated on device: a single spp>>1 call is
+            # one multi-minute device execution, which the remote axon worker
+            # kills ("TPU worker process crashed or restarted", seen at
+            # spp=256, 1024^2); ~1 s executions are safe and cost the same
+            acc_f = jnp.zeros((width * height, 3))
+            acc_c = jnp.zeros((width * height,))
+            for s in range(spp):
+                fs, ct = pt_pool.render_pool_jit(
+                    ts, eye, U, V, W, width, height, 1, seed_base + s,
+                    max_depth=args.max_depth)
+                acc_f = acc_f + fs
+                acc_c = acc_c + ct
+            jax.block_until_ready(acc_f)
+            return np.asarray(acc_f), np.asarray(acc_c)
         # bdpt: uniform vertex connections — structurally different sampler
         # from PT; on indirect-dominant scenes a PT reference at any
         # practical spp stays speckle-noisy and relMSE against it punishes
