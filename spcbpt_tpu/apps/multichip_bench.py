@@ -40,6 +40,10 @@ def main(argv=None):
                    help="reference image npz (key 'img', (W*H,3)) for the "
                         "equal-time relMSE")
     p.add_argument("--discard", type=float, default=0.001)
+    p.add_argument("--sub-blocks", type=int, default=1,
+                   help="sequential sub-wavefronts per chip row block "
+                        "(memory / sub_blocks, estimator unchanged); "
+                        "needed for 1x1-mesh 2048^2 on a real chip")
     p.add_argument("--platform", default="cpu", choices=["cpu", "default"],
                    help="'cpu' = virtual host mesh (the validation surface); "
                         "'default' = whatever jax.devices() returns (real "
@@ -115,7 +119,8 @@ def main(argv=None):
                          par.sharded_spcbpt_render(
                              ts_, ss_, uvw, width, height, 3, mesh,
                              args.light_paths_per_chip,
-                             max_depth=args.max_depth, uniform=uniform))
+                             max_depth=args.max_depth, uniform=uniform,
+                             sub_blocks=args.sub_blocks))
             t0 = time.time()
             img = fn(ts, ss)
             jax.block_until_ready(img)
@@ -162,7 +167,8 @@ def main(argv=None):
                          par.sharded_spcbpt_render(
                              ts_, ss_, uvw, width, height, sub, mesh,
                              args.light_paths_per_chip,
-                             max_depth=args.max_depth, uniform=uniform))
+                             max_depth=args.max_depth, uniform=uniform,
+                             sub_blocks=args.sub_blocks))
             # accumulate ON DEVICE and transfer once after the budget: a
             # per-subframe np.asarray is ~50 MB of device->host traffic at
             # 2048^2, which would consume the timed budget in transfers on

@@ -87,14 +87,25 @@ def sharded_pt_render(ts, cam_uvw, width: int, height: int, subframe,
 def sharded_spcbpt_render(ts, ss, cam_uvw, width: int, height: int, subframe,
                           mesh: Mesh, light_paths_per_chip: int = 8192,
                           light_depth: int = 8, max_depth: int = 12,
-                          connection_n: int = 3, uniform: bool = False):
+                          connection_n: int = 3, uniform: bool = False,
+                          sub_blocks: int = 1):
     """Multi-chip tiled SPCBPT: each chip traces its own light sub-paths
     (decorrelated seeds), builds its local LVC sampler, renders its pixel-row
-    block, and sample streams pmean over `spp`."""
+    block, and sample streams pmean over `spp`.
+
+    sub_blocks > 1 splits each chip's row block into that many sequential
+    sub-wavefronts (lax.map): peak live-lane memory drops ~sub_blocks-fold
+    while the estimator is unchanged — camera rays are seeded by global
+    pixel index, and the chip's one LVC sampler serves every sub-block just
+    as it serves the whole block. Needed on real chips at 2048^2, where a
+    4.2M-lane connection wavefront (3x gathers of s32[12.6M]) OOMs a
+    single-chip 1x1 mesh."""
     eye, U, V, W = [jnp.asarray(x, jnp.float32) for x in cam_uvw]
     n_tile = mesh.shape["tile"]
     assert height % n_tile == 0
     rows = height // n_tile
+    assert rows % sub_blocks == 0, (rows, sub_blocks)
+    rows_b = rows // sub_blocks
 
     def local(ts_rep, ss_rep):
         ti = jax.lax.axis_index("tile")
@@ -108,11 +119,21 @@ def sharded_spcbpt_render(ts, ss, cam_uvw, width: int, height: int, subframe,
         sampler = lvc.build_sampler(
             lv, table_mode=None if uniform else lvc.table_mode_for(ss),
             table_seed=frame)
-        o, d, state = _block_camera_rays(eye, U, V, W, width, height, rows,
-                                         ti, si, subframe)
         step = spcbpt.make_spcbpt_step(ts_rep, ss_rep, sampler, max_depth,
                                        connection_n, uniform)
-        img = step(o, d, state)
+
+        def one_block(b):
+            o, d, state = _block_camera_rays(
+                eye, U, V, W, width, height, rows_b,
+                ti * sub_blocks + b, si, subframe)
+            return step(o, d, state)
+
+        if sub_blocks == 1:
+            img = one_block(jnp.int32(0))
+        else:
+            img = jax.lax.map(one_block,
+                              jnp.arange(sub_blocks, dtype=jnp.int32))
+            img = img.reshape(rows * width, 3)
         return jax.lax.pmean(img, "spp")
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(), P()), out_specs=P("tile"),

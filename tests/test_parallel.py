@@ -170,3 +170,21 @@ def test_dp_gamma_step_matches_single_device():
     assert np.isclose(float(loss_sh), float(loss_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(t_sh), np.asarray(t_ref),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_spcbpt_sub_blocks_exact(cornell):
+    """sub_blocks splits each chip's row block into sequential
+    sub-wavefronts for memory (the 2048^2 1x1-mesh OOM fix); camera rays
+    are global-pixel-seeded and the chip's one sampler serves every
+    sub-block, so the image must be identical to sub_blocks=1."""
+    ts, cam_uvw = cornell
+    ss = classify.synthetic_trained_state(ts, seed=3)
+    mesh = ptile.make_mesh(jax.devices("cpu")[:4], tile=2, spp=2)
+    kw = dict(light_paths_per_chip=32, light_depth=3, max_depth=3,
+              connection_n=3, uniform=False)
+    a = np.asarray(ptile.sharded_spcbpt_render(
+        ts, ss, cam_uvw, 16, 8, 0, mesh, sub_blocks=1, **kw))
+    b = np.asarray(ptile.sharded_spcbpt_render(
+        ts, ss, cam_uvw, 16, 8, 0, mesh, sub_blocks=2, **kw))
+    assert a.sum() > 0.0
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
