@@ -101,28 +101,35 @@ out["lp_sweep"]["full_conn3_lp16384"] = out["decomp"]["full_conn3"]
 ref = np.load(REF1024)["img"].reshape(1024, 1024, 3)
 ref = ref.reshape(256, 4, 256, 4, 3).mean(axis=(1, 3)).reshape(-1, 3)
 BUDGET = 30.0
-REPEATS = 2
+REPEATS = 3  # odd -> sorted[len//2] is a true median (ADVICE r4)
 
 
 def equal_time(label, lp, cn):
     ltp = lt_fn(lp)
 
-    def one(s, acc):
-        sampler = build(ltp(jnp.uint32(s + 7919)), jnp.uint32(s))
+    def one(s_local, base, acc):
+        # base decorrelates the renderer/sampler seeds between repeats;
+        # the accumulator running-mean index must be the LOCAL sample
+        # index (ADVICE r4 high: passing base+s weighted every rep>0
+        # sample by ~1e-6 and left the frame near-black).
+        seed = base + s_local
+        sampler = build(ltp(jnp.uint32(seed + 7919)), jnp.uint32(seed))
         fs, ct = spcbpt_pool.render_pool_jit(
-            ts, ss, sampler, eye, U, V, Wv, W, H, 1, s, max_depth=12,
+            ts, ss, sampler, eye, U, V, Wv, W, H, 1, seed, max_depth=12,
             connection_n=cn, uniform=False)
-        return accumulate(acc, fs / jnp.maximum(ct[:, None], 1), s)
+        return accumulate(acc, fs / jnp.maximum(ct[:, None], 1), s_local)
 
+    # warm-up/compile OUTSIDE the budget and DISCARDED from the
+    # accumulator (ADVICE r4: the old code kept one free sample).
+    jax.block_until_ready(one(0, 999_999_937, jnp.zeros((W * H, 3))))
     reps = []
     for r in range(REPEATS):
         base = r * 1_000_003
-        acc = one(base, jnp.zeros((W * H, 3)))
-        jax.block_until_ready(acc)
+        acc = jnp.zeros((W * H, 3))
         t0 = time.time()
-        s = 1
+        s = 0
         while True:
-            acc = one(base + s, acc)
+            acc = one(s, base, acc)
             s += 1
             jax.block_until_ready(acc)
             if time.time() - t0 > BUDGET:

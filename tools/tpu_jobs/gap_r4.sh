@@ -6,6 +6,7 @@
 cd /root/repo
 
 echo "[gap] config5 (sub-blocks 8) $(date -u +%H:%M:%S)"
+rm -f /tmp/config5_tpu.json  # never promote a stale JSON (ADVICE r4)
 timeout 4200 python -m spcbpt_tpu.apps.multichip_bench \
   --scene interior_cove --dim 2048x2048 --platform default --meshes 1x1 \
   --max-depth 12 --light-paths-per-chip 65536 --equal-time 300 \
