@@ -24,7 +24,12 @@ from .camera import Camera
 from .envmap import EnvMap, build_envmap, dummy_envmap
 from .parser import SceneDesc, load_scene
 
-TEX_RES = 512
+# Textures are kept at NATIVE resolution (reference: stb native-res CUDA
+# textures, scene_shift.cpp:40), padded into one shared (NT, Hmax, Wmax, 3)
+# stack with per-texture (h, w) for wrap addressing. Only textures whose
+# longest edge exceeds TEX_MAX are area-downsampled (memory bound: the stack
+# is dense HBM).
+TEX_MAX = 2048
 # Traversal-mode auto-selection thresholds. Measured on v5e: the fused
 # brute-force path scales ~linearly (112 Mrays/s @ 32 tris, 2.6 @ 2048,
 # 0.7 @ 8192) while the XLA while_loop BVH walk is gather-bound and
@@ -90,7 +95,7 @@ class TraceScene:
     tri_mat: jnp.ndarray     # (T,) int32
     tri_light: jnp.ndarray   # (T,) int32 light id for emitter tris, else -1
     mats: Materials
-    textures: jnp.ndarray    # (NT, TEX_RES, TEX_RES, 3) linear albedo
+    textures: jnp.ndarray    # (NT, Hmax, Wmax, 3) linear albedo, zero-padded
     lights: QuadLights
     env: EnvMap
     # BVH (skip-link flattened)
@@ -103,6 +108,10 @@ class TraceScene:
     clusters: Optional[clusters_mod.ClusterSet] = None
     # K=128 cluster set for the row-walk kernel (mode "walk"; ops/ray_walk)
     clusters_walk: Optional[clusters_mod.ClusterSet] = None
+    # per-texture native (h, w) inside the padded stack (None = every
+    # texture fills its slot, legacy/test scenes)
+    tex_h: Optional[jnp.ndarray] = None   # (NT,) int32
+    tex_w: Optional[jnp.ndarray] = None   # (NT,) int32
     # static metadata
     num_lights: int = struct.field(pytree_node=False, default=0)  # quads + env
     num_quad_lights: int = struct.field(pytree_node=False, default=0)
@@ -218,8 +227,14 @@ def visibility(ts: TraceScene, pos_a, pos_b, eps: float = 1e-3,
 def sample_albedo(ts: TraceScene, tex_id, uv):
     """Bilinear, wrap-mode albedo fetch from the texture stack; returns
     linear-space rgb. tex_id < 0 lanes return 1 (multiplied away by caller)."""
-    nt, h, w, _ = ts.textures.shape
+    nt, hmax, wmax, _ = ts.textures.shape
     tid = jnp.clip(tex_id, 0, nt - 1)
+    # per-texture native extent inside the padded stack
+    if ts.tex_h is not None:
+        h = ts.tex_h[tid].astype(jnp.float32)
+        w = ts.tex_w[tid].astype(jnp.float32)
+    else:
+        h, w = float(hmax), float(wmax)
     fu = uv[..., 0] * w - 0.5
     fv = uv[..., 1] * h - 0.5
     x0 = jnp.floor(fu)
@@ -228,9 +243,11 @@ def sample_albedo(ts: TraceScene, tex_id, uv):
     dv = (fv - y0)[..., None]
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
+    hi = jnp.asarray(h, jnp.int32) if ts.tex_h is None else ts.tex_h[tid]
+    wi = jnp.asarray(w, jnp.int32) if ts.tex_w is None else ts.tex_w[tid]
 
     def fetch(xi, yi):
-        return ts.textures[tid, jnp.mod(yi, h), jnp.mod(xi, w)]
+        return ts.textures[tid, jnp.mod(yi, hi), jnp.mod(xi, wi)]
 
     c00 = fetch(x0, y0)
     c10 = fetch(x0 + 1, y0)
@@ -310,6 +327,7 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
             tex_ids[m.albedo_tex] = len(tex_paths)
             tex_paths.append(m.albedo_tex)
     textures = np.ones((max(len(tex_paths), 1), 1, 1, 3), np.float32)
+    tex_hw = np.ones((max(len(tex_paths), 1), 2), np.int32)
     if tex_paths:
         import cv2
         texs = []
@@ -319,11 +337,24 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
             if img is None:
                 img = np.full((4, 4, 3), 255, np.uint8)
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            img = cv2.resize(img, (TEX_RES, TEX_RES), interpolation=cv2.INTER_AREA)
+            # native resolution (scene_shift.cpp:40 stb native-res textures);
+            # only bound the longest edge to TEX_MAX (dense-stack memory cap)
+            h, w = img.shape[:2]
+            if max(h, w) > TEX_MAX:
+                s = TEX_MAX / max(h, w)
+                img = cv2.resize(img, (max(1, round(w * s)),
+                                       max(1, round(h * s))),
+                                 interpolation=cv2.INTER_AREA)
             linear = np.power(img.astype(np.float32) / 255.0, 2.2)
             # reference samples textures with v ascending from the top row
             texs.append(linear)
-        textures = np.stack(texs)
+        hmax = max(t.shape[0] for t in texs)
+        wmax = max(t.shape[1] for t in texs)
+        textures = np.zeros((len(texs), hmax, wmax, 3), np.float32)
+        tex_hw = np.ones((len(texs), 2), np.int32)
+        for i, t in enumerate(texs):
+            textures[i, :t.shape[0], :t.shape[1]] = t
+            tex_hw[i] = t.shape[:2]
 
     M = len(mat_names)
     mats = Materials(
@@ -510,6 +541,7 @@ def build_scene(desc: SceneDesc, data_dir: Optional[str] = None,
         mats=Materials(**{k: jnp.asarray(getattr(mats, k))
                           for k in Materials.__dataclass_fields__}),
         textures=dev(textures),
+        tex_h=dev(tex_hw[:, 0], jnp.int32), tex_w=dev(tex_hw[:, 1], jnp.int32),
         lights=QuadLights(**{k: jnp.asarray(getattr(lights, k))
                              for k in QuadLights.__dataclass_fields__}),
         env=env,
