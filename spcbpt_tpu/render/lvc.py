@@ -45,15 +45,28 @@ class LVCSampler:
     # replaces an 18 ms/wavefront CMF bisection with two sub-ms gathers.
     table_idx: jnp.ndarray = None    # (NUM_SUBSPACE, K) int32
     table_pmf: jnp.ndarray = None    # (NUM_SUBSPACE, K) f32
+    # fused (idx, pmf) copy: one render-time gather instead of two; pmf is
+    # zeroed on empty subspaces so ok_seg needs no extra seg_size gather
+    # (idx stored as f32 — vertex indices < 2^24, exact)
+    table_pack: jnp.ndarray = None   # (NUM_SUBSPACE, K, 2) f32
     table_mode: str = struct.field(pytree_node=False, default=None)
+    # True when `packed` carries the precomputed tracing_weight_light column
+    # (vertex.WEIGHT_B_COL) — requires building with the SubspaceState
+    has_weight_b: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_sampler(lv: LightVertices, table_mode: str = None,
-                  table_k: int = 128, table_seed: int = 0) -> LVCSampler:
+                  table_k: int = 128, table_seed: int = 0,
+                  ss=None) -> LVCSampler:
     """table_mode: presample per-subspace connection tables for this
     second-stage mode ("weighted" | "mixture"; "uniform" needs none).
     MUST match the SubspaceState's second_stage or the MIS rate calibration
-    breaks — renderers only use a table whose mode matches."""
+    breaks — renderers only use a table whose mode matches.
+
+    ss (optional SubspaceState): when given, the packed matrix additionally
+    carries each vertex's precomputed light-side strategy weight
+    (rmis.tracing_weight_light — a pure function of vertex fields), saving a
+    Gamma gather per connection draw in the fused evaluator."""
     flat = reshape_flat(lv)
     v_count = flat.valid.shape[0]
 
@@ -76,17 +89,25 @@ def build_sampler(lv: LightVertices, table_mode: str = None,
     denom = jnp.maximum(seg_sum, 1e-30)
     cmf = (csum - base[skey]) / denom[skey]
 
+    wb = None
+    if ss is not None:
+        from . import rmis
+        wb = rmis.tracing_weight_light(None, ss, flat, None)
     s = LVCSampler(
         vertices=flat, order=order, cmf=cmf,
         seg_start=start[:NUM_SUBSPACE], seg_size=counts[:NUM_SUBSPACE],
         seg_sum=seg_sum[:NUM_SUBSPACE],
         vertex_count=jnp.sum(ones),
         path_count=jnp.sum(jnp.where(flat.valid & (flat.depth == 0), 1, 0)),
-        packed=pack_matrix(flat),
+        packed=pack_matrix(flat, weight_b=wb),
+        has_weight_b=wb is not None,
     )
     if table_mode in ("weighted", "mixture"):
         idx, pmf = presample_tables(s, table_mode, table_k, table_seed)
-        s = s.replace(table_idx=idx, table_pmf=pmf, table_mode=table_mode)
+        pmf_ok = jnp.where((s.seg_size > 0)[:, None], pmf, 0.0)
+        pack = jnp.stack([idx.astype(jnp.float32), pmf_ok], axis=-1)
+        s = s.replace(table_idx=idx, table_pmf=pmf, table_pack=pack,
+                      table_mode=table_mode)
     return s
 
 
@@ -108,7 +129,7 @@ def make_builder(ss, table_k: int = 128):
 
     def f(lv, seed=0):
         return build_sampler(lv, table_mode=mode, table_k=table_k,
-                             table_seed=seed)
+                             table_seed=seed, ss=ss)
     return jax.jit(f)
 
 
@@ -134,11 +155,19 @@ def presample_tables(s: LVCSampler, mode: str, k: int, seed: int = 0):
 
 def sample_second_stage_table(s: LVCSampler, light_subspace, state):
     """O(1) presampled second stage: uniform slot from the subspace's table
-    (presample_tables). Returns (vertex flat-index, pmf, valid, state)."""
+    (presample_tables). Returns (vertex flat-index, pmf, valid, state).
+
+    Uses the fused (idx, pmf) pack when present — ONE gather, with empty
+    subspaces signaled by pmf == 0 (exactly the lanes the old seg_size
+    gather invalidated; downstream already requires pmf > 0)."""
     r, state = rng_mod.next_float(state)
     k = s.table_idx.shape[1]
     slot = jnp.clip((r * k).astype(jnp.int32), 0, k - 1)
     row = light_subspace.astype(jnp.int32)
+    if s.table_pack is not None:
+        packed = s.table_pack[row, slot]
+        pmf = packed[..., 1]
+        return packed[..., 0].astype(jnp.int32), pmf, pmf > 0.0, state
     idx = s.table_idx[row, slot]
     pmf = s.table_pmf[row, slot]
     return idx, pmf, s.seg_size[row] > 0, state

@@ -21,8 +21,7 @@ import jax.numpy as jnp
 from ..config import CULL_BACKFACE, MIN_RR_RATE, PT_MAX_DEPTH, SCENE_EPSILON
 from ..ops import bsdf as bsdf_mod
 from ..scene import envmap as env_mod
-from ..scene.scene import (TraceScene, local_geometry, trace_closest,
-                           wavefront_key)
+from ..scene.scene import TraceScene, local_geometry, trace_closest
 from ..utils import rng as rng_mod
 from ..utils import vec
 from .pt import _nee
@@ -76,24 +75,19 @@ def render_pool(ts: TraceScene, cam_uvw, width: int, height: int,
             count=jnp.zeros((n_pixels,), jnp.int32),
         )
 
-    # presort the lane state by the wavefront coherence key once per bounce
-    # (trace calls then skip their internal argsort + output scatter)
-    presort = wavefront_key(ts, jnp.zeros((1, 3)), jnp.ones((1, 3))) is not None
-    lane_keys = ("o", "d", "state", "pixel", "throughput", "result",
-                 "bsdf_pdf", "depth", "alive")
+    # no full-state presort: trace_closest's internal sort gives the same
+    # traversal coherence on just (o, d) + an inverse scatter of the hit;
+    # permuting the whole lane state per bounce is pure HBM traffic (r5
+    # ablation on the spcbpt pool measured it at ~95 ms/spp at 256^2)
 
     def cond(c):
         return jnp.any(c["alive"]) | (c["next_sample"] < total)
 
     def body(c):
-        if presort:
-            perm = jnp.argsort(wavefront_key(ts, c["o"], c["d"]))
-            c = dict(c, **{k: c[k][perm] for k in lane_keys})
         live = c["alive"]
         # pool-exhausted (~alive) lanes: dead-lane tmax skips their traversal
         hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON,
-                            jnp.where(live, 1e16, -1.0), CULL_BACKFACE,
-                            sort=False if presort else None)
+                            jnp.where(live, 1e16, -1.0), CULL_BACKFACE)
         miss = ~hit.valid & live
         geom = local_geometry(ts, hit, c["o"], c["d"])
         hit_light = hit.valid & (geom["light_id"] >= 0) & live
@@ -118,7 +112,7 @@ def render_pool(ts: TraceScene, cam_uvw, width: int, height: int,
 
         v_dir = -c["d"]
         nee, state2 = _nee(ts, geom, v_dir, c["throughput"], c["state"],
-                           sort=False if presort else None, mask=hit_surf)
+                           mask=hit_surf)
         result = result + jnp.where(hit_surf[..., None], nee, 0.0)
 
         rr = bsdf_mod.rr_rate(geom["base_color"], MIN_RR_RATE)

@@ -196,12 +196,19 @@ def tracing_weight_eye(ts, ss, last, mid_position, mid_is_dir=None):
     return aw * w + au * u
 
 
-def tracing_update_eye(ts, ss, last: EyeVertices, mid_position, mid_is_dir):
+def tracing_update_eye(ts, ss, last: EyeVertices, mid_position, mid_is_dir,
+                       in_dir=None):
     """rmis.h:191-203: new (rmis3, rmis_u) for the vertex after `last`.
     rmis3 transports flux-linear weights (pdf ratio x flux multiplier);
     rmis_u transports flux-free weights (pdf ratio only) — mixing them in
-    one chain breaks the weight partition (caught by the oracle tests)."""
-    in_dir = vec.normalize(mid_position - last.position)
+    one chain breaks the weight partition (caught by the oracle tests).
+
+    in_dir: the renderers pass the (already normalized) ray direction d
+    directly — identical to normalize(mid_position - last.position) for hit
+    lanes, and the only correct value for miss lanes (whose mid_position is
+    garbage barycentric data), which light_hit_env_cached relies on."""
+    if in_dir is None:
+        in_dir = vec.normalize(mid_position - last.position)
     ll_pdf = get_last_pdf(ts, last, in_dir)
     w_part, u_part = tracing_weight_eye_parts(ts, ss, last, mid_position,
                                               mid_is_dir)
@@ -372,3 +379,63 @@ def light_hit_env(ts, ss, eye_v: EyeVertices, ray_dir, env_flux, env_pdf,
                     jnp.ones_like(eye_v.single_pdf, bool), lb)
     denom = ((weight + d_a) / jnp.maximum(pdf_b, 1e-30) * env_pdf + d_b)
     return d_b / jnp.maximum(denom, 1e-30)
+
+
+def light_hit_cached(ss, eye_v: EyeVertices, rmis3_next, rmis_u_next, d,
+                     cos_last, inv_t2, pending_single,
+                     lv_normal, lv_flux, lv_pdf, lv_subspace) -> jnp.ndarray:
+    """light_hit computed from the per-bounce quantities the renderer already
+    has, instead of re-deriving them with 3 pdf + 1 eval BSDF calls per lane
+    per bounce (measured 146 ms/spp of the 256^2 SPCBPT frame):
+
+      * the eye-side chain (d_a0_w, d_a0_u) of light_hit is EXACTLY
+        tracing_update_eye's (rmis3, rmis_u) output scaled by
+        eye_v.single_pdf — same in_dir (the current ray direction d), same
+        weight parts — so d_a folds to the update products directly;
+      * pdf_b (the BSDF pdf of regenerating the emitter hit from eye_v) is
+        the carried sampling pdf `pending_single` (= pdf_bsdf * rr of the
+        bounce that generated d) times the virtual vertex's area conversion.
+
+    Equivalence to the from-scratch light_hit is pinned by
+    tests/test_rmis_oracle.py::test_light_hit_cached_matches. Lanes with
+    eye_v.depth == 0 (camera vertex) produce garbage — callers override
+    those with weight 1 (direct hit), as they already did for light_hit."""
+    flux = lv_flux / jnp.maximum(lv_pdf, 1e-30)[..., None]
+    aw, au = mix_coeffs(ss)
+    cos_lv = jnp.abs(vec.dot(lv_normal, d))
+    pdf_a = (cos_lv / jnp.pi) * cos_last * inv_t2
+    d_a = au * rmis_u_next * pdf_a
+    if aw != 0.0:
+        d_a = d_a + aw * vec.float3weight(
+            rmis3_next * (pdf_a * jnp.pi)[..., None] * flux)
+    weight = connect_rate(ss, eye_v.subspace_id, lv_subspace,
+                          vec.float3weight(flux))
+    weight = jnp.where(eye_v.is_brdf, 0.0, weight)
+    pdf_b = pending_single * cos_lv * inv_t2
+    denom = (weight + d_a) / jnp.maximum(pdf_b, 1e-30) * lv_pdf + 1.0
+    return 1.0 / jnp.maximum(denom, 1e-30)
+
+
+def light_hit_env_cached(ts, ss, eye_v: EyeVertices, rmis3_next, rmis_u_next,
+                         d, cos_last, pending_single,
+                         env_flux, env_pdf, env_label) -> jnp.ndarray:
+    """light_hit_env computed from the update products (see light_hit_cached).
+    The env virtual vertex is directional, so pdf_a * fm1 folds to cos_last
+    exactly and pdf_b is `pending_single` with no area conversion. Requires
+    the update chain to have been run with in_dir=d (miss lanes have no valid
+    mid_position)."""
+    from ..scene import envmap as env_mod
+    flux = env_flux / jnp.maximum(env_pdf, 1e-30)[..., None]
+    aw, au = mix_coeffs(ss)
+    proj = env_mod.env_project_pdf(ts.env)
+    pdf_a = proj * cos_last
+    d_a = au * rmis_u_next * pdf_a
+    if aw != 0.0:
+        d_a = d_a + aw * vec.float3weight(rmis3_next * cos_last[..., None]
+                                          * flux)
+    weight = connect_rate(ss, eye_v.subspace_id, env_label,
+                          vec.float3weight(flux))
+    weight = jnp.where(eye_v.is_brdf, 0.0, weight)
+    denom = ((weight + d_a) / jnp.maximum(pending_single, 1e-30)
+             * env_pdf + 1.0)
+    return 1.0 / jnp.maximum(denom, 1e-30)

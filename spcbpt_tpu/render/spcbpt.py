@@ -32,7 +32,7 @@ from . import common, rmis
 from .lvc import (LVCSampler, sample_first_stage, sample_second_stage,
                   sample_second_stage_mixture, sample_second_stage_table,
                   sample_second_stage_uniform, sample_uniform)
-from .vertex import unpack_rows
+from .vertex import unpack_rows, unpack_weight_b
 from .rmis import EyeVertices
 
 
@@ -101,6 +101,166 @@ def connect_vertex(ts: TraceScene, ss: classify.SubspaceState,
     return vec.scrub(ans)
 
 
+def connect_vertex_fused(ts: TraceScene, ss: classify.SubspaceState,
+                         eye_v, light_v, pmf1=None, eye_parts=None,
+                         weight_b=None):
+    """connect_vertex + general_connection + connection_light_source fused:
+    the same weighted contribution with every shared quantity computed once.
+    The three originals independently re-derive materials, BSDF evals and
+    pdfs; here
+
+      * one material gather per endpoint serves every eval/pdf;
+      * one eval per endpoint serves both the contribution factor (fa/fb)
+        and the RMIS flux multiplier (fm0/fm1) — eval_bsdf is reciprocal
+        (Burley BRDF: h, |dot(l,h)|=|dot(v,h)| symmetric), pinned by
+        tests/test_bsdf.py;
+      * both pdf directions of each endpoint come from one pdf_bsdf_pair
+        (shared half-vector term);
+      * the eye-side RMIS accumulator (_eye_side_D) is computed once and
+        shared by the general and light-source combiners (the originals each
+        recompute it; their connect_dir differs only on env lanes, where the
+        general combiner's result is never selected).
+
+    Optional precomputed args (all exactness-preserving, each removing
+    Gamma-table gathers — the dominant connection cost, 164 ms of the 501 ms
+    256^2 frame in the r5 ablation):
+      * pmf1: the first-stage sampling pmf of light_v's subspace. When the
+        first stage sampled the Gamma row (trained, no nn, not uniform),
+        pmf1 == Gamma(eye_ss, light_ss) exactly (alias_pack stores gamma_pmf
+        values, classify.publish_tables), so the connection strategy weight
+        needs only the small q/inv_occ gathers instead of a 2D Gamma gather.
+      * eye_parts: (w_part, u_part) = rmis.tracing_weight_eye_parts(eye_v)
+        computed ONCE per eye vertex by the caller instead of per draw.
+      * weight_b: per-vertex rmis.tracing_weight_light, precomputed at LVC
+        build (vertex.pack_matrix weight_b column).
+
+    Equivalence to connect_vertex is pinned by
+    tests/test_rmis_oracle.py::test_connect_vertex_fused_matches (both bare
+    and with every precomputed arg supplied).
+    Reference: connectVertex_SPCBPT raygen.cu:253-303 + rmis.h:212-323."""
+    conn_vec = eye_v.position - light_v.position
+    connect_dir = vec.normalize(conn_vec)            # light -> eye
+    dir_conn = light_v.is_env
+    conn_dir_e = jnp.where(dir_conn[..., None], -light_v.normal, connect_dir)
+    # eye->light direction; for env lanes conn_dir_e already points
+    # surface->env. Equals -connect_dir on every lane where the general
+    # combiner or the non-env source combiner is selected, and equals the
+    # source combiner's -connect_dir on env lanes.
+    in_e = jnp.where(dir_conn[..., None], conn_dir_e, -conn_dir_e)
+
+    la = vec.normalize(eye_v.last_position - eye_v.position)
+    lb = vec.normalize(light_v.last_position - light_v.position)
+    mat_e = bsdf_mod.gather_mat(ts.mats, jnp.maximum(eye_v.mat_id, 0),
+                                eye_v.color)
+    mat_l = bsdf_mod.gather_mat(ts.mats, jnp.maximum(light_v.mat_id, 0),
+                                light_v.color)
+    rr_e = bsdf_mod.rr_rate(eye_v.color, MIN_RR_RATE)
+    rr_l = bsdf_mod.rr_rate(light_v.color, MIN_RR_RATE)
+    flux = light_v.ratio
+    lum_flux = vec.float3weight(flux)
+    inv_sp_e = 1.0 / jnp.maximum(eye_v.single_pdf, 1e-30)
+    inv_sp_l = 1.0 / jnp.maximum(light_v.single_pdf, 1e-30)
+    aw, au = rmis.mix_coeffs(ss)
+
+    # ---- contribution factors (connectVertex_SPCBPT raygen.cu:253-303) ----
+    cos_a = jnp.abs(vec.dot(eye_v.normal, conn_dir_e))
+    cos_b = jnp.abs(vec.dot(light_v.normal, connect_dir))
+    g = cos_a * cos_b / jnp.maximum(vec.dot(conn_vec, conn_vec), 1e-20)
+    fa = bsdf_mod.eval_bsdf(mat_e, eye_v.normal, in_e, la)
+    fb = bsdf_mod.eval_bsdf(mat_l, light_v.normal, connect_dir, lb)
+    facing = vec.dot(light_v.normal, -connect_dir) <= 0.0
+    fb_eff = jnp.where(light_v.is_origin[..., None],
+                       jnp.where(facing[..., None], 1.0, 0.0), fb)
+    contri = eye_v.ratio * flux * fa * fb_eff * g[..., None]
+    contri_dir = (eye_v.ratio * flux * fa
+                  * vec.dot(eye_v.normal, conn_dir_e)[..., None])
+    ok_dir = vec.dot(eye_v.normal, conn_dir_e) > 0.0
+    contri = jnp.where(dir_conn[..., None],
+                       jnp.where(ok_dir[..., None], contri_dir, 0.0), contri)
+
+    # ---- shared eye-side RMIS accumulator (rmis.h:219-233) ----
+    pdf_e_fwd, pdf_e_rev = bsdf_mod.pdf_bsdf_pair(mat_e, eye_v.normal, in_e,
+                                                  la)
+    # get_last_pdf(eye_v, in_e): area pdf of regenerating eye_v's previous
+    # vertex, seen from the connection direction
+    conv_last_e = eye_v.last_normal_proj / jnp.maximum(
+        vec.dot(eye_v.last_position - eye_v.position,
+                eye_v.last_position - eye_v.position), 1e-20)
+    ll_pdf_a = (jnp.where(eye_v.is_ll_direction, pdf_e_fwd,
+                          pdf_e_fwd * conv_last_e) * rr_e)
+    cos_e_la = jnp.abs(vec.dot(eye_v.normal, la))
+    fm0 = fa * (cos_e_la / jnp.maximum(pdf_e_fwd * rr_e, 1e-20))[..., None]
+    if eye_parts is None:
+        eye_parts = rmis.tracing_weight_eye_parts(ts, ss, eye_v,
+                                                  light_v.position)
+    w_part, u_part = eye_parts
+    d_a0_w = eye_v.rmis3 * ll_pdf_a[..., None] * fm0 + w_part[..., None]
+    d_a0_u = eye_v.rmis_u * ll_pdf_a + u_part
+
+    # pdf_b = get_pdf(eye_v, light_v.position, light_v.normal, is_env, la):
+    # its out_dir equals in_e on every lane (env: -light normal; else
+    # -connect_dir), so the reverse pdf of the shared pair serves it
+    conv_b = cos_b / jnp.maximum(vec.dot(conn_vec, conn_vec), 1e-20)
+    pdf_b = jnp.where(light_v.is_env, pdf_e_rev, pdf_e_rev * conv_b) * rr_e
+
+    # strategy weight of THIS connection (shared by both combiners)
+    if pmf1 is not None and ss.trained:
+        # pmf1 == Gamma(eye_ss, light_ss): connect_rate without the 2D gather
+        lsub = light_v.subspace_id
+        base = pmf1 * CONNECTION_N
+        weight = jnp.zeros_like(pmf1)
+        if aw != 0.0:
+            weight = weight + aw * base * lum_flux / ss.q[lsub]
+        if au != 0.0 and ss.inv_occ is not None:
+            from ..config import NUM_SUBSPACE
+            weight = weight + au * base * ss.inv_occ[
+                jnp.clip(lsub, 0, NUM_SUBSPACE - 1)]
+    else:
+        weight = rmis.connect_rate(ss, eye_v.subspace_id,
+                                   light_v.subspace_id, lum_flux)
+
+    # ---- general combiner (light depth > 0; rmis.h:212-247) ----
+    pdf_l_fwd, pdf_l_rev = bsdf_mod.pdf_bsdf_pair(mat_l, light_v.normal, lb,
+                                                  connect_dir)
+    conv_a = cos_a / jnp.maximum(vec.dot(conn_vec, conn_vec), 1e-20)
+    pdf_a_gen = pdf_l_fwd * conv_a * rr_l
+    cos_l_cd = jnp.abs(vec.dot(light_v.normal, connect_dir))
+    # fm1 = flux_multiplier(light_v, lb, connect_dir); eval reciprocity
+    # folds its eval into fb
+    fm1 = fb * (cos_l_cd / jnp.maximum(pdf_l_fwd * rr_l, 1e-20))[..., None]
+    d_a_gen = (aw * vec.float3weight(d_a0_w * pdf_a_gen[..., None] * fm1
+                                     * flux)
+               + au * d_a0_u * pdf_a_gen) * inv_sp_e
+    conv_last_l = light_v.last_normal_proj / jnp.maximum(
+        vec.dot(light_v.last_position - light_v.position,
+                light_v.last_position - light_v.position), 1e-20)
+    ll_pdf_b = (jnp.where(light_v.is_ll_direction, pdf_l_rev,
+                          pdf_l_rev * conv_last_l) * rr_l)
+    if weight_b is None:
+        weight_b = rmis.tracing_weight_light(ts, ss, light_v, eye_v.position)
+    d_b_gen = (light_v.rmis * ll_pdf_b + weight_b) * pdf_b * inv_sp_l
+    w_gen = weight / jnp.maximum(weight + d_a_gen + d_b_gen, 1e-30)
+
+    # ---- light-source combiner (light depth == 0; rmis.h:281-323) ----
+    pdf_a_src = rmis.get_pdf_from_light_source(ts, light_v, eye_v.position,
+                                               eye_v.normal)
+    if ts.has_env:
+        from ..scene import envmap as env_mod
+        fm1_src = jnp.where(light_v.is_env,
+                            1.0 / env_mod.env_project_pdf(ts.env), jnp.pi)
+    else:
+        fm1_src = jnp.full_like(pdf_a_src, jnp.pi)
+    d_a_src = (aw * vec.float3weight(d_a0_w * (pdf_a_src * fm1_src)[..., None]
+                                     * flux)
+               + au * d_a0_u * pdf_a_src) * inv_sp_e
+    d_b_src = light_v.rmis * pdf_b * inv_sp_l
+    w_src = weight / jnp.maximum(weight + d_a_src + d_b_src, 1e-30)
+
+    w = jnp.where(light_v.depth == 0, w_src, w_gen)
+    w = jnp.where(eye_v.is_brdf | light_v.is_brdf, 0.0, w)
+    return vec.scrub(contri * w[..., None])
+
+
 def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
                      sampler: LVCSampler, max_depth: int = SUBPATH_MAX_DEPTH,
                      connection_n: int = CONNECTION_N, uniform: bool = False,
@@ -148,6 +308,13 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
             cos_last = jnp.abs(vec.dot(last.normal, d))
             inv_t2 = 1.0 / jnp.maximum(hit.t * hit.t, 1e-20)
 
+            # RMIS recursion update for the next vertex — computed FIRST so
+            # the emitter-hit / env-escape weights below reuse its products
+            # (rmis.light_hit_cached: saves 3 pdf + 1 eval BSDF calls per
+            # lane per bounce). in_dir=d: exact for miss lanes too.
+            rmis3_new, rmis_u_new = rmis.tracing_update_eye(
+                ts, ss, last, geom["P"], jnp.zeros_like(hit.valid), in_dir=d)
+
             # ---- emitter hit (hit_program.cu:62-147) ----
             # the (cos*cos/t^2) geometry factor cancels between cumulative
             # flux and pdf; carry the unit-invariant ratio directly
@@ -163,9 +330,10 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
                                 c["pending_f"] * c["ratio"]) \
                 * (step * ls_rev.emission)
             direct = c["depth"] == 0  # MidVertex.depth == 1
-            w_hit = rmis.light_hit(ts, ss, last, geom["P"], ls_rev.normal,
-                                   ls_rev.emission, ls_rev.pdf,
-                                   ls_rev.subspace_id)
+            w_hit = rmis.light_hit_cached(
+                ss, last, rmis3_new, rmis_u_new, d, cos_last, inv_t2,
+                c["pending_single"], ls_rev.normal, ls_rev.emission,
+                ls_rev.pdf, ls_rev.subspace_id)
             w_hit = jnp.where(direct, 1.0, w_hit)
             emit = ratio_l * w_hit[..., None]
             result = c["result"] + jnp.where((hit_light & front)[..., None],
@@ -183,8 +351,10 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
                                       c["pending_f"] * c["ratio"]) \
                     * (step * env_rad)
                 e_pdf = env_mod.env_pdf(ts.env, d) / ts.num_lights
-                w_env = rmis.light_hit_env(ts, ss, last, d, env_rad, e_pdf,
-                                           env_mod.env_label(ts.env, d))
+                w_env = rmis.light_hit_env_cached(
+                    ts, ss, last, rmis3_new, rmis_u_new, d, cos_last,
+                    c["pending_single"], env_rad, e_pdf,
+                    env_mod.env_label(ts.env, d))
                 w_env = jnp.where(c["depth"] == 0, 1.0, w_env)
                 result = result + jnp.where(
                     miss[..., None],
@@ -197,8 +367,6 @@ def make_spcbpt_step(ts: TraceScene, ss: classify.SubspaceState,
                                   c["pending_f"] * c["ratio"]) * step
             single_mid = c["pending_single"] * pdf_g / jnp.maximum(cos_last, 1e-20)
             sub_mid = classify.label_eye(ss, geom["P"], geom["Ns"])
-            rmis3_new, rmis_u_new = rmis.tracing_update_eye(
-                ts, ss, last, geom["P"], jnp.zeros_like(hit_surf))
             first = last.depth == 0
             rmis3 = jnp.where(first[..., None],
                               jnp.zeros((geom["P"].shape[0], 3)), rmis3_new)
@@ -330,9 +498,13 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
     # ONE occlusion wavefront for all connection_n draws: per-call traversal
     # overhead (entry prep + kernel dispatch) amortizes 3x
     idx_all = jnp.concatenate([d[0] for d in draws])
+    wb_all = None
     if sampler.packed is not None:
         # one row-gather for the whole record vs ~20 scalar gathers
-        lv_all = unpack_rows(sampler.packed[idx_all])
+        rows = sampler.packed[idx_all]
+        lv_all = unpack_rows(rows)
+        if sampler.has_weight_b:
+            wb_all = unpack_weight_b(rows)
     else:
         lv_all = sampler.vertices.take(idx_all)
     pos_all = jnp.tile(mid.position, (connection_n, 1))
@@ -348,10 +520,21 @@ def _connections(ts, ss, sampler, mid: EyeVertices, eye_ratio, state,
     eye_all = _ConnEye(
         jax.tree_util.tree_map(lambda a: jnp.tile(a, (connection_n,) + (1,) * (a.ndim - 1)), mid),
         jnp.tile(eye_ratio, (connection_n, 1)))
-    contrib_all = connect_vertex(ts, ss, eye_all, lv_all)
     pmf1_all = jnp.concatenate([jnp.broadcast_to(d[1], (n,)) for d in draws])
     pmf2_all = jnp.concatenate([jnp.broadcast_to(d[2], (n,)) for d in draws])
     ok_seg_all = jnp.concatenate([jnp.broadcast_to(d[3], (n,)) for d in draws])
+    # precomputed Gamma-gather eliminations (see connect_vertex_fused):
+    # eye_parts once per eye vertex instead of per draw; weight_b from the
+    # packed LVC column; the strategy weight from pmf1 (== Gamma(e,l) when
+    # the first stage sampled the Gamma row)
+    parts = rmis.tracing_weight_eye_parts(ts, ss, mid, mid.position)
+    tile_n = lambda a: jnp.tile(a, (connection_n,))
+    eye_parts = (tile_n(parts[0]), tile_n(parts[1]))
+    pmf1_is_gamma = (not uniform) and ss.trained and ss.nn is None
+    contrib_all = connect_vertex_fused(
+        ts, ss, eye_all, lv_all,
+        pmf1=pmf1_all if pmf1_is_gamma else None,
+        eye_parts=eye_parts, weight_b=wb_all)
     pmf_all = sampler.path_count.astype(jnp.float32) * pmf1_all * pmf2_all
     can_contribute = (ok_seg_all & lv_all.valid & (pmf_all > 0.0)
                       & jnp.any(contrib_all != 0.0, axis=-1))

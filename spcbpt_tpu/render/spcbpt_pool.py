@@ -16,8 +16,7 @@ import jax.numpy as jnp
 from ..config import CONNECTION_N, CULL_BACKFACE, MIN_RR_RATE, SCENE_EPSILON
 from ..ops import bsdf as bsdf_mod
 from ..ops import lights as lights_mod
-from ..scene.scene import (TraceScene, local_geometry, trace_closest,
-                           wavefront_key)
+from ..scene.scene import TraceScene, local_geometry, trace_closest
 from ..train import classify
 from ..utils import rng as rng_mod
 from ..utils import vec
@@ -77,24 +76,21 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
                  count=jnp.zeros((n_pixels,), jnp.int32))
         return c
 
-    presort = wavefront_key(ts, jnp.zeros((1, 3)), jnp.ones((1, 3))) is not None
-    lane_keys = ("o", "d", "state", "ratio", "pending_f", "pending_single",
-                 "result", "depth", "pixel", "alive")
+    # no full-state presort: trace_closest's internal sort gives the same
+    # traversal coherence on just (o, d) + an inverse scatter of the hit,
+    # while permuting the whole 20+-array lane state (EyeVertices incl.)
+    # costs ~95 ms/spp of pure HBM traffic at 256^2 (r5 ablation); pool
+    # lanes are ~always live, so dead-lane packing buys nothing here.
 
     def cond(c):
         return jnp.any(c["alive"]) | (c["next_sample"] < total)
 
     def body(c):
-        if presort:
-            perm = jnp.argsort(wavefront_key(ts, c["o"], c["d"]))
-            c = dict(c, **{k: c[k][perm] for k in lane_keys},
-                     v=jax.tree_util.tree_map(lambda a: a[perm], c["v"]))
         last = c["v"]
         live = c["alive"]
         # pool-exhausted (~alive) lanes: dead-lane tmax skips their traversal
         hit = trace_closest(ts, c["o"], c["d"], SCENE_EPSILON,
-                            jnp.where(live, 1e16, -1.0), CULL_BACKFACE,
-                            sort=False if presort else None)
+                            jnp.where(live, 1e16, -1.0), CULL_BACKFACE)
         geom = local_geometry(ts, hit, c["o"], c["d"])
         miss = ~hit.valid & live
         hit_light = hit.valid & (geom["light_id"] >= 0) & live
@@ -104,6 +100,12 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
         cos_mid_l = jnp.abs(vec.dot(geom["Ns"], d))
         cos_last = jnp.abs(vec.dot(last.normal, d))
         inv_t2 = 1.0 / jnp.maximum(hit.t * hit.t, 1e-20)
+
+        # RMIS recursion update for the next vertex — computed FIRST so the
+        # emitter-hit / env-escape weights below reuse its products
+        # (rmis.light_hit_cached). in_dir=d: exact for miss lanes too.
+        rmis3_new, rmis_u_new = rmis.tracing_update_eye(
+            ts, ss, last, geom["P"], jnp.zeros_like(hit.valid), in_dir=d)
 
         # emitter hit (hit_program.cu:62-147); cumulative flux/pdf carried
         # as their unit-invariant ratio (see LightVertices)
@@ -119,8 +121,10 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
                             c["pending_f"] * c["ratio"]) \
             * (step * ls_rev.emission)
         direct = c["depth"] == 0
-        w_hit = rmis.light_hit(ts, ss, last, geom["P"], ls_rev.normal,
-                               ls_rev.emission, ls_rev.pdf, ls_rev.subspace_id)
+        w_hit = rmis.light_hit_cached(
+            ss, last, rmis3_new, rmis_u_new, d, cos_last, inv_t2,
+            c["pending_single"], ls_rev.normal, ls_rev.emission,
+            ls_rev.pdf, ls_rev.subspace_id)
         w_hit = jnp.where(direct, 1.0, w_hit)
         emit = ratio_l * w_hit[..., None]
         result = c["result"] + jnp.where((hit_light & front)[..., None],
@@ -135,8 +139,10 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
                                   c["pending_f"] * c["ratio"]) \
                 * (step * env_rad)
             e_pdf = env_mod.env_pdf(ts.env, d) / ts.num_lights
-            w_env = rmis.light_hit_env(ts, ss, last, d, env_rad, e_pdf,
-                                       env_mod.env_label(ts.env, d))
+            w_env = rmis.light_hit_env_cached(
+                ts, ss, last, rmis3_new, rmis_u_new, d, cos_last,
+                c["pending_single"], env_rad, e_pdf,
+                env_mod.env_label(ts.env, d))
             w_env = jnp.where(c["depth"] == 0, 1.0, w_env)
             result = result + jnp.where(
                 miss[..., None], vec.scrub(ratio_env * w_env[..., None]), 0.0)
@@ -148,8 +154,6 @@ def render_pool(ts: TraceScene, ss: classify.SubspaceState,
                               c["pending_f"] * c["ratio"]) * step
         single_mid = c["pending_single"] * pdf_g / jnp.maximum(cos_last, 1e-20)
         sub_mid = classify.label_eye(ss, geom["P"], geom["Ns"])
-        rmis3_new, rmis_u_new = rmis.tracing_update_eye(
-            ts, ss, last, geom["P"], jnp.zeros_like(hit_surf))
         first = last.depth == 0
         rmis3 = jnp.where(first[..., None],
                           jnp.zeros((geom["P"].shape[0], 3)), rmis3_new)

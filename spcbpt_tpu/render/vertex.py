@@ -62,18 +62,34 @@ _F32_FIELDS = ("single_pdf", "last_normal_proj", "last_lum", "rmis")
 _INT_FIELDS = ("mat_id", "subspace_id", "eye_label", "last_zone_id", "depth")
 _BOOL_FIELDS = ("is_origin", "is_env", "is_ll_direction", "is_brdf",
                 "last_brdf", "valid")
-PACK_WIDTH = 32  # 15 + 4 + 5 + 6 = 30, padded to one 32-lane tile
+PACK_WIDTH = 32  # 15 + 4 + 5 + 6 = 30 (+1 optional weight_b), one 32-lane tile
+WEIGHT_B_COL = 30  # precomputed rmis.tracing_weight_light (see pack_matrix)
 
 
-def pack_matrix(lv: LightVertices) -> jnp.ndarray:
-    """Pack a flat (V,) LightVertices into one (V, 32) f32 matrix."""
+def pack_matrix(lv: LightVertices, weight_b=None) -> jnp.ndarray:
+    """Pack a flat (V,) LightVertices into one (V, 32) f32 matrix.
+
+    weight_b (optional, (V,) f32): the vertex's light-side connection
+    strategy weight rmis.tracing_weight_light — a pure function of vertex
+    fields, so precomputing it here (once per LVC vertex per frame) saves a
+    Gamma-table gather per connection draw (~196k 2D gathers per bounce).
+    Stored in the otherwise-padded column WEIGHT_B_COL."""
     cols = [getattr(lv, f) for f in _VEC3_FIELDS]
     cols += [getattr(lv, f)[..., None] for f in _F32_FIELDS]
     cols += [getattr(lv, f).astype(jnp.float32)[..., None]
              for f in _INT_FIELDS + _BOOL_FIELDS]
+    if weight_b is not None:
+        cols += [weight_b[..., None]]
     m = jnp.concatenate(cols, axis=-1)
     pad = PACK_WIDTH - m.shape[-1]
     return jnp.pad(m, ((0, 0), (0, pad)))
+
+
+def unpack_weight_b(rows: jnp.ndarray) -> jnp.ndarray:
+    """The precomputed tracing_weight_light column of gathered packed rows
+    (only meaningful when the sampler was built with a SubspaceState —
+    LVCSampler.has_weight_b)."""
+    return rows[..., WEIGHT_B_COL]
 
 
 def unpack_rows(rows: jnp.ndarray) -> LightVertices:

@@ -106,3 +106,50 @@ def test_rr_rate_floor():
     c = jnp.asarray([[0.1, 0.05, 0.02], [0.9, 0.2, 0.1]])
     r = np.asarray(bsdf.rr_rate(c))
     np.testing.assert_allclose(r, [0.3, 0.9], rtol=1e-6)
+
+
+def _rand_dirs(n, seed, up=True):
+    r = np.random.default_rng(seed)
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    if up:
+        d[:, 2] = np.abs(d[:, 2]) + 1e-3
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(d)
+
+
+def test_eval_reciprocity():
+    """eval_bsdf(v, l) == eval_bsdf(l, v): Burley's BRDF is reciprocal by
+    construction (h symmetric, dot(l,h)==dot(v,h)). The fused SPCBPT
+    connection evaluator relies on this to serve the contribution factor and
+    the RMIS flux multiplier from ONE eval per endpoint."""
+    n = 512
+    v = _rand_dirs(n, 1)
+    l = _rand_dirs(n, 2)
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    for kw in (dict(), dict(metallic=0.8, roughness=0.1),
+               dict(metallic=0.3, roughness=0.9)):
+        mat = make_mat(n, **kw)
+        mat["clearcoat"] = jnp.full((n,), 0.5)
+        mat["sheen"] = jnp.full((n,), 0.4)
+        a = np.asarray(bsdf.eval_bsdf(mat, nrm, v, l))
+        b = np.asarray(bsdf.eval_bsdf(mat, nrm, l, v))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_pdf_bsdf_pair_matches_pdf_bsdf():
+    """pdf_bsdf_pair returns exactly (pdf_bsdf(a,b), pdf_bsdf(b,a))."""
+    n = 512
+    a = _rand_dirs(n, 3)
+    b = _rand_dirs(n, 4)
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    for kw in (dict(), dict(metallic=0.8, roughness=0.1)):
+        mat = make_mat(n, **kw)
+        mat["clearcoat"] = jnp.full((n,), 0.5)
+        pab, pba = bsdf.pdf_bsdf_pair(mat, nrm, a, b)
+        np.testing.assert_allclose(np.asarray(pab),
+                                   np.asarray(bsdf.pdf_bsdf(mat, nrm, a, b)),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(pba),
+                                   np.asarray(bsdf.pdf_bsdf(mat, nrm, b, a)),
+                                   rtol=1e-6)

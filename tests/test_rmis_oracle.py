@@ -196,6 +196,83 @@ def test_emitter_hit_matches_oracle(setup, m):
     assert rel.mean() < 0.01
 
 
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_light_hit_cached_matches(setup, m):
+    """light_hit_cached (the renderer's zero-BSDF-call emitter-hit weight,
+    fed by tracing_update_eye's products and the carried sampling pdf) must
+    equal the from-scratch light_hit for every chain depth and second-stage
+    calibration. The carried quantities are reconstructed here exactly the
+    way the render bodies carry them (pending_single = pdf_bsdf * rr of the
+    bounce that generated the hit direction)."""
+    ts, ss, od, rec, lvs = setup
+    eye_v = jax.tree_util.tree_map(lambda a: a[m - 1], rec["v"])
+    lv0 = jax.tree_util.tree_map(lambda a: a[0], lvs)
+    flux = lv0.ratio * lv0.single_pdf[..., None]
+
+    conn_vec = lv0.position - eye_v.position
+    in_dir = conn_vec / jnp.linalg.norm(conn_vec, axis=-1, keepdims=True)
+    cos_last = jnp.abs(jnp.sum(eye_v.normal * in_dir, axis=-1))
+    inv_t2 = 1.0 / jnp.maximum(jnp.sum(conn_vec * conn_vec, axis=-1), 1e-20)
+    lb = eye_v.last_position - eye_v.position
+    lb = lb / jnp.maximum(jnp.linalg.norm(lb, axis=-1, keepdims=True), 1e-20)
+    pending_single = rmis._pdf_at(ts, eye_v, lb, in_dir) * rmis._rr(eye_v)
+    rmis3_next, rmis_u_next = rmis.tracing_update_eye(
+        ts, ss, eye_v, lv0.position, jnp.zeros_like(lv0.valid), in_dir=in_dir)
+
+    cached = rmis.light_hit_cached(
+        ss, eye_v, rmis3_next, rmis_u_next, in_dir, cos_last, inv_t2,
+        pending_single, lv0.normal, flux, lv0.single_pdf, lv0.subspace_id)
+    expect = rmis.light_hit(ts, ss, eye_v, lv0.position, lv0.normal,
+                            flux, lv0.single_pdf, lv0.subspace_id)
+
+    valid = jnp.ones_like(lv0.valid)
+    for i in range(m):
+        valid = valid & rec["valid"][i]
+    c = np.asarray(cached)
+    e = np.asarray(expect)
+    ok = np.asarray(valid) & np.isfinite(c) & np.isfinite(e) & (e > 1e-6)
+    assert ok.sum() >= 20
+    np.testing.assert_allclose(c[ok], e[ok], rtol=2e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("m,l", [(1, 0), (2, 0), (1, 1), (2, 2), (3, 1)])
+def test_connect_vertex_fused_matches(setup, m, l):
+    """The fused connection evaluator (one material gather / eval / pdf-pair
+    per endpoint, shared eye-side RMIS accumulator) must reproduce the
+    original connect_vertex (which composes the separate general /
+    light-source combiners) for every chain depth, light depth (incl. the
+    on-light origin l=0) and second-stage calibration. Tolerance covers eval
+    reciprocity's float reordering only."""
+    ts, ss, od, rec, lvs = setup
+    eye_v = jax.tree_util.tree_map(lambda a: a[m - 1], rec["v"])
+    light_v = jax.tree_util.tree_map(lambda a: a[l], lvs)
+    eye = spcbpt._ConnEye(eye_v, jnp.ones_like(eye_v.position))
+
+    fused = spcbpt.connect_vertex_fused(ts, ss, eye, light_v)
+    orig = spcbpt.connect_vertex(ts, ss, eye, light_v)
+
+    valid = light_v.valid
+    for i in range(m):
+        valid = valid & rec["valid"][i]
+    f = np.asarray(fused)
+    o = np.asarray(orig)
+    ok = np.asarray(valid) & np.all(np.isfinite(o), axis=-1)
+    assert ok.sum() >= 20
+    atol = 1e-6 * max(1.0, np.abs(o[ok]).max())
+    np.testing.assert_allclose(f[ok], o[ok], rtol=2e-4, atol=atol)
+
+    # the precomputed-argument fast paths (pmf1 == Gamma(e,l), hoisted
+    # eye_parts, packed weight_b) must be exact too
+    from spcbpt_tpu.train import classify
+    pmf1 = classify.gamma_block(ss, eye_v.subspace_id, light_v.subspace_id)
+    parts = rmis.tracing_weight_eye_parts(ts, ss, eye_v, eye_v.position)
+    wb = rmis.tracing_weight_light(ts, ss, light_v, eye_v.position)
+    fast = spcbpt.connect_vertex_fused(ts, ss, eye, light_v, pmf1=pmf1,
+                                       eye_parts=parts, weight_b=wb)
+    np.testing.assert_allclose(np.asarray(fast)[ok], o[ok], rtol=2e-4,
+                               atol=atol)
+
+
 def test_is_brdf_zeroes_weight(setup):
     """Specular vertices force the connection weight to 0 (rmis.h:65-67,
     213-216)."""
