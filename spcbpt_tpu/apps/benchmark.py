@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -288,15 +289,40 @@ def main(argv=None):
     for alg in algs:
         print(f"[bench] {alg} ...", flush=True)
         reps = []
-        for r in range(max(1, args.repeats)):
+
+        def run_rep(r):
+            la0 = os.getloadavg()[0]
             img, spp_done, dt = render_alg(
                 alg, budget_s=args.equal_time,
                 spp=None if args.equal_time else args.spp,
                 seed_base=r * 1_000_003)
             e = rel_mse(img, ref, discard=args.discard)
-            reps.append({"relmse": e, "spp": spp_done, "seconds": dt})
-            print(f"[bench] {alg}[{r}]: relMSE {e:.5f} at {spp_done} spp "
-                  f"({dt:.1f}s)", flush=True)
+            return img, {"relmse": e, "spp": spp_done, "seconds": dt,
+                         "loadavg": round(la0, 2)}
+
+        for r in range(max(1, args.repeats)):
+            img, rep = run_rep(r)
+            reps.append(rep)
+            print(f"[bench] {alg}[{r}]: relMSE {rep['relmse']:.5f} at "
+                  f"{rep['spp']} spp ({rep['seconds']:.1f}s)", flush=True)
+        # Contention sentinel: this host has one core, and any concurrent
+        # CPU work starves the device dispatch loop, silently multiplying a
+        # repeat's wall-clock (observed 1015 s for an 8 s repeat in round
+        # 4's config-2 artifact). A repeat whose wall-clock exceeds 3x the
+        # median of its siblings is rerun once with the same seed (relMSE
+        # is deterministic given the seed; only the timing is rescued) and
+        # the discarded timing is kept as provenance.
+        if len(reps) >= 2:
+            med_dt = sorted(rr["seconds"] for rr in reps)[len(reps) // 2]
+            for i, rr in enumerate(reps):
+                if rr["seconds"] > 3.0 * med_dt:
+                    print(f"[bench] {alg}[{i}] contended "
+                          f"({rr['seconds']:.1f}s vs median {med_dt:.1f}s)"
+                          " -- rerunning", flush=True)
+                    img, rep2 = run_rep(i)
+                    rep2["contended_rerun_of"] = {
+                        "seconds": rr["seconds"], "loadavg": rr["loadavg"]}
+                    reps[i] = rep2
         med = sorted(rr["relmse"] for rr in reps)[len(reps) // 2]
         results["algs"][alg] = {
             "relmse": med, "spp": reps[0]["spp"],

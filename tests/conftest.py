@@ -72,6 +72,12 @@ _SLOW = [
     "tests/test_nn_classifier.py::test_blended_first_stage_pmf_matches_histogram",
     "tests/test_tile_trace.py::test_closest_matches_brute[300",
     "tests/test_tile_trace.py::test_closest_matches_brute[1200",
+    # round 5: the quick tier measured 264 s on this box; these three are
+    # 148 s of it (the sub_blocks equivalence alone is 136 s). The full
+    # suite still runs them.
+    "tests/test_parallel.py::test_sharded_spcbpt_sub_blocks_exact",
+    "tests/test_parallel.py::test_dp_gamma_step_matches_single_device",
+    "tests/test_nn_classifier.py::test_nn_state_checkpoint_roundtrip",
 ]
 
 
