@@ -50,6 +50,11 @@ def main(argv=None):
                         "TPU chips on hardware)")
     p.add_argument("--cpu-devices", type=int, default=8,
                    help="virtual CPU device count for --platform cpu")
+    p.add_argument("--subframes", type=int, default=3,
+                   help="subframes per mesh-correctness render (lower = "
+                        "cheaper large-dim rows on the CPU virtual mesh)")
+    p.add_argument("--mesh-algs", default="pt,bdpt,spcbpt",
+                   help="algorithms to run in the mesh-correctness sweep")
     p.add_argument("--json", default=None)
     args = p.parse_args(argv)
 
@@ -95,29 +100,35 @@ def main(argv=None):
             continue
         mesh = par.make_mesh(devices[:t_ * s_], tile=t_, spp=s_)
         entry = {}
+        mesh_algs = args.mesh_algs.split(",")
+        nsub = args.subframes
 
         # PT: pixel-seeded RNG only, so every TILEx1 mesh must reproduce
         # the single-chip image EXACTLY (pure pixel split, no chip state)
-        fn = jax.jit(lambda ts_, mesh=mesh: par.sharded_pt_render(
-            ts_, uvw, width, height, 3, mesh, max_depth=args.max_depth))
-        img = fn(ts); jax.block_until_ready(img)
-        t0 = time.time(); img = fn(ts); jax.block_until_ready(img)
-        dt = time.time() - t0
-        m = float(jnp.mean(img))
-        if ("pt", s_) not in base_mean:
-            base_mean[("pt", s_)] = m
-        dev = abs(m / base_mean[("pt", s_)] - 1.0)
-        entry["pt"] = {"mean": m, "seconds": dt,
-                       "mpaths_per_s_total": width * height / dt / 1e6,
-                       "mean_vs_smallest_mesh": dev}
-        print(f"[mesh {shape}] pt: mean {m:.6f} (dev {dev:.2e}) {dt:.1f}s",
-              flush=True)
-        assert dev < 1e-5, f"PT pixel-split mismatch on mesh {shape}"
+        if "pt" in mesh_algs:
+            fn = jax.jit(lambda ts_, mesh=mesh: par.sharded_pt_render(
+                ts_, uvw, width, height, nsub, mesh,
+                max_depth=args.max_depth))
+            img = fn(ts); jax.block_until_ready(img)
+            t0 = time.time(); img = fn(ts); jax.block_until_ready(img)
+            dt = time.time() - t0
+            m = float(jnp.mean(img))
+            if ("pt", s_) not in base_mean:
+                base_mean[("pt", s_)] = m
+            dev = abs(m / base_mean[("pt", s_)] - 1.0)
+            entry["pt"] = {"mean": m, "seconds": dt,
+                           "mpaths_per_s_total": width * height / dt / 1e6,
+                           "mean_vs_smallest_mesh": dev}
+            print(f"[mesh {shape}] pt: mean {m:.6f} (dev {dev:.2e}) "
+                  f"{dt:.1f}s", flush=True)
+            assert dev < 1e-5, f"PT pixel-split mismatch on mesh {shape}"
 
         for alg, uniform in (("bdpt", True), ("spcbpt", False)):
+            if alg not in mesh_algs:
+                continue
             fn = jax.jit(lambda ts_, ss_, mesh=mesh, uniform=uniform:
                          par.sharded_spcbpt_render(
-                             ts_, ss_, uvw, width, height, 3, mesh,
+                             ts_, ss_, uvw, width, height, nsub, mesh,
                              args.light_paths_per_chip,
                              max_depth=args.max_depth, uniform=uniform,
                              sub_blocks=args.sub_blocks))

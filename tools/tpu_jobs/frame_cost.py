@@ -38,8 +38,8 @@ eye, U, V, Wv = cam.uvw()
 # occlusion wavefront depends on the actual Gamma/classifier, so synthetic
 # states under- or over-state the VERDICT-5 cut); queue runs this job twice:
 # before config-4 (synthetic) and after (trained)
-_CKS = ["/tmp/cove_ck_256.npz", "/root/repo/.jax_cache/cove_ck256_v2.npz",
-        "/root/repo/.jax_cache/cove_ck1024.npz"]
+_CKS = ["/root/repo/.jax_cache/cove_ck1024.npz",
+        "/tmp/cove_ck_256.npz", "/root/repo/.jax_cache/cove_ck256_v2.npz"]
 ck = next((p for p in _CKS if os.path.exists(p)), None)
 if ck is not None:
     from spcbpt_tpu.checkpoint import load_subspace_state
