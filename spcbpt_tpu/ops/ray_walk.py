@@ -34,6 +34,21 @@ the streaming variant (ops/pallas_walk.py) or a scene split.
 
 Correctness oracle: ops/intersect.brute_force_* via tests/test_ray_walk.py
 (interpret mode on CPU, real kernel on TPU).
+
+Round-5 upgrades tried and REJECTED (all measured on the chip; v3 stands):
+  * gather-expand in pure XLA — 3x slower: per-element row-gather lowers
+    to ~15 GB/s effective, and whole-wavefront lock-step pays the p99
+    visit tail (max 30 vs mean 5.5 cluster visits).
+  * two-level HBM triangle table (no partitioned sets for 521k tris) —
+    2.5-3.7 Mrays/s vs v3's 3.6-6.6 on the same wavefronts; per-visit HBM
+    DMA latency dominates the lock-step round.
+  * packed-(t,slot) single-reduction winner + visit-balanced packing —
+    kernel ~10% faster, but the forced exact-winner XLA epilogue costs
+    ~5 ms per per-element gather/scatter pass at 262k rays (~29 ms total,
+    >> the ~3 ms kernel win), and the balance permutation's two extra
+    gathers cost more than the lock-step rounds they save (camera 25.4 vs
+    15.8 ms). On this chip the gap to hardware RT cores is the per-element
+    memory system, not kernel scheduling.
 """
 from __future__ import annotations
 
