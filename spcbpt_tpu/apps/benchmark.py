@@ -130,8 +130,13 @@ def main(argv=None):
         # converged images (zero-agrees-with-zero artifact)
         from ..render import spcbpt_pool
         ss0 = classify.untrained_state()
-        lt = jax.jit(lambda f: light_trace.trace_light_paths(
-            ts, ss0, args.light_paths, f, max_depth=args.light_depth))
+        # ts/ss go in as jit ARGUMENTS, not closure constants: closed-over
+        # device arrays are serialized into the compile request, and the
+        # house scene's native-resolution texture stack blows past the
+        # remote-compile tunnel's body limit (HTTP 413)
+        lt_jit = jax.jit(lambda ts_, ss_, f: light_trace.trace_light_paths(
+            ts_, ss_, args.light_paths, f, max_depth=args.light_depth))
+        lt = lambda f: lt_jit(ts, ss0, f)
         build = jax.jit(lvc.build_sampler)
         # accumulate ON DEVICE and transfer once per chunk: per-spp
         # np.asarray here costs ~17 MB of device->host traffic per spp at
@@ -255,8 +260,13 @@ def main(argv=None):
         else:
             from ..render import spcbpt_pool
             uniform = alg == "bdpt"
-            lt = jax.jit(lambda f: light_trace.trace_light_paths(
-                ts, ss, args.light_paths, f, max_depth=args.light_depth))
+            # ts/ss as jit arguments (see render_ref_chunk): keeps the
+            # native-res texture stack out of the remote-compile payload
+            lt_jit = jax.jit(
+                lambda ts_, ss_, f: light_trace.trace_light_paths(
+                    ts_, ss_, args.light_paths, f,
+                    max_depth=args.light_depth))
+            lt = lambda f: lt_jit(ts, ss, f)
             build = lvc.make_builder(None if uniform else ss)
 
             def one(s, acc):

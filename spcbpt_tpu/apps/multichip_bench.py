@@ -55,6 +55,11 @@ def main(argv=None):
                         "cheaper large-dim rows on the CPU virtual mesh)")
     p.add_argument("--mesh-algs", default="pt,bdpt,spcbpt",
                    help="algorithms to run in the mesh-correctness sweep")
+    p.add_argument("--single-run", action="store_true",
+                   help="mesh-correctness sweep only: take the mean from the "
+                        "compile run and skip the warm timed rerun (halves "
+                        "the cost of large-dim CPU rows; 'seconds' then "
+                        "includes compile time and is not a clean rate)")
     p.add_argument("--json", default=None)
     args = p.parse_args(argv)
 
@@ -136,10 +141,13 @@ def main(argv=None):
             img = fn(ts, ss)
             jax.block_until_ready(img)
             compile_s = time.time() - t0
-            t0 = time.time()
-            img = fn(ts, ss)
-            jax.block_until_ready(img)
-            dt = time.time() - t0
+            if args.single_run:
+                dt = compile_s
+            else:
+                t0 = time.time()
+                img = fn(ts, ss)
+                jax.block_until_ready(img)
+                dt = time.time() - t0
             m = float(jnp.mean(img))
             lanes = width * height // t_
             entry[alg] = {
@@ -147,6 +155,8 @@ def main(argv=None):
                 "lanes_per_chip": lanes,
                 "mpaths_per_s_total": width * height / dt / 1e6,
             }
+            if args.single_run:
+                entry[alg]["single_run"] = True
             # BDPT/SPCBPT regenerate the LVC per chip with decorrelated
             # seeds (parallel/tile.py), so cross-mesh agreement is
             # statistical, not bitwise; at 1 spp the two-stage estimator's
@@ -161,6 +171,11 @@ def main(argv=None):
                   f"({width*height/dt/1e6:.2f} Mpaths/s total)", flush=True)
             assert dev < 0.15, f"estimator mismatch on mesh {shape} {alg}"
         results["meshes"][shape] = entry
+        if args.json:
+            # partial dump after every mesh: a deadline-killed large-dim CPU
+            # row still stages the meshes it finished
+            with open(args.json, "w") as f:
+                json.dump(results, f, indent=2)
 
     if args.equal_time:
         # BASELINE config 5 proper: equal-time SPCBPT vs BDPT through the

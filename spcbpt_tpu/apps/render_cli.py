@@ -157,8 +157,9 @@ def main(argv=None):
     else:
         from ..render import spcbpt_pool
         uniform = args.alg == "bdpt"
-        lt_fn = jax.jit(lambda f: light_trace.trace_light_paths(
-            ts, ss, args.light_paths, f, max_depth=args.light_depth))
+        lt_jit = jax.jit(lambda ts_, ss_, f: light_trace.trace_light_paths(
+            ts_, ss_, args.light_paths, f, max_depth=args.light_depth))
+        lt_fn = lambda f: lt_jit(ts, ss, f)
         build = lvc.make_builder(None if uniform else ss)
         fsum = jnp.zeros((width * height, 3))
         count = jnp.zeros((width * height,), jnp.int32)

@@ -196,8 +196,9 @@ def main(argv=None):
     if args.resume:
         ss = ckpt_mod.load_subspace_state(args.resume)
 
-    lt_fn = jax.jit(lambda f: light_trace.trace_light_paths(
-        ts, ss, n_lp, f, max_depth=8))
+    lt_jit = jax.jit(lambda ts_, ss_, f: light_trace.trace_light_paths(
+        ts_, ss_, n_lp, f, max_depth=8))
+    lt_fn = lambda f: lt_jit(ts, ss, f)
     build = lvc.make_builder(ss)
 
     def render_one(alg: str, uvw, subframe: int):

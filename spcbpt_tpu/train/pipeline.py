@@ -54,8 +54,9 @@ def preprocess(ts: TraceScene, cam_uvw, width: int, height: int,
 
     # --- 1. pretrace ---
     t0 = time.time()
-    launch = jax.jit(pretrace.make_pretracer(ts, cam_uvw, cfg.num_core,
-                                             cfg.padding))
+    launch_jit = jax.jit(pretrace.make_pretracer(cam_uvw, cfg.num_core,
+                                                 cfg.padding))
+    launch = lambda f: launch_jit(ts, f)
     batches = []
     total = 0
     frame = 0
@@ -132,8 +133,12 @@ def preprocess(ts: TraceScene, cam_uvw, width: int, height: int,
         eye=eye_cls, light=light_cls,
         q=jnp.ones((NUM_SUBSPACE,)),
         cmf_gamma=classify.untrained_state().cmf_gamma, trained=True)
-    lt_fn = jax.jit(lambda f: light_trace.trace_light_paths(
-        ts, ss_trees, lt_paths, f, max_depth=lt_depth))
+    # ts as a jit ARGUMENT (not a closure constant): closed-over device
+    # arrays are serialized into the remote-compile request and the house
+    # scene's native-res textures exceed the tunnel's body limit (HTTP 413)
+    lt_jit = jax.jit(lambda ts_, ss_, f: light_trace.trace_light_paths(
+        ts_, ss_, lt_paths, f, max_depth=lt_depth))
+    lt_fn = lambda f: lt_jit(ts, ss_trees, f)
     qb_fn = jax.jit(qgamma.q_batch)
     q_mean = jnp.zeros((NUM_SUBSPACE,))
     occ_total = jnp.zeros((NUM_SUBSPACE,))

@@ -206,16 +206,21 @@ def _build_path_info(ts: TraceScene, buf, k, light):
     return path, conn
 
 
-def make_pretracer(ts: TraceScene, cam_uvw, n_core: int,
+def make_pretracer(cam_uvw, n_core: int,
                    padding: int = PRETRACE_CONN_PADDING,
                    max_depth: int | None = None):
-    """Returns jit-able f(frame) -> PretraceBatch."""
+    """Returns jit-able f(ts, frame) -> PretraceBatch.
+
+    The scene is a launch ARGUMENT, not a closure constant: closed-over
+    device arrays are serialized into the compile request, and a scene with
+    native-resolution textures (house) exceeds the remote-compile tunnel's
+    request-body limit (HTTP 413)."""
     eye, U, V, W = [jnp.asarray(x, jnp.float32) for x in cam_uvw]
     if max_depth is None:
         max_depth = padding - 1
     lanes = jnp.arange(n_core, dtype=jnp.uint32)
 
-    def launch(frame):
+    def launch(ts: TraceScene, frame):
         state = rng_mod.seed(lanes, jnp.asarray(frame, jnp.uint32)
                              + jnp.uint32(0x51000000))
         r1, state = rng_mod.next_float(state)
